@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style action (``collect`` on the
+already-aggregated result) so the full plan executes; session build and
+first-query JVM warmup are excluded from per-query numbers via a warmup run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_transparencia_sergipe_spark.session import get_spark
+import __spark_entry__ as entrymod
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_term_filter_normalize",
+    "q03_money_roundtrip",
+    "q04_monthly_revenue",
+    "q05_top_customers",
+    "q06_union_consolidation",
+    "q08_semi_join_big_orders",
+    "q09_top_order_per_customer",
+    "q11_rollup_revenue",
+    "q12_distinct_customers_monthly",
+    "q14_range_join_ship_lag",
+    "q15_json_extract_events",
+    "q20_token_stats",
+    "q30_exact_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warmup: run the first query once to absorb JVM/codegen startup.
+    qs[names[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

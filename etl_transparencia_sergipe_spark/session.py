@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Scale posture: every default here is chosen to survive a 1000-executor
+cluster, then overridden down for local[N] testing:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting) —
+  replaces the reference's hand-tuned worker counts
+  (``config.json:19-21``, ``interface.py:75-78``).
+- shuffle partitions default to the local core count (env-overridable);
+  on a real cluster AQE coalesces from a high initial number.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled for any pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local master threads and shuffle
+    partitions, matching the driver's bench contract.
+    """
+    cores = _default_parallelism()
+    builder = (
+        SparkSession.builder
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

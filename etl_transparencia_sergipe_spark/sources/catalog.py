@@ -1,0 +1,46 @@
+"""Source catalog: table name -> reader (SURVEY.md S9).
+
+The reference maps a city key to a scraper module + URL via a config dict
+(``main.py:13-16,46-60``; ``config.json:21-40``); here the same idea is a
+registry from table name to a format/path, resolved lazily so Catalyst sees
+a plain parquet scan it can prune and push filters into.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one testdata table as a DataFrame (columnar parquet scan —
+    column pruning + predicate pushdown come free from Catalyst)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    d = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(d, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read it as raw nanos and convert with integer
+        # division (a double division would lose precision past 2^53 ns).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for t in tables:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)

@@ -1,0 +1,101 @@
+"""Unit tests for the scalar function layer (normalize/money/dates) —
+including bit-exactness of the translate-based accent fold vs the NFKD
+reference semantics (SURVEY.md §7 risk 1)."""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.functions import (
+    ROYALTY_TERMS,
+    format_ptbr_money,
+    normalize_colname,
+    normalize_text,
+    parse_br_date,
+    parse_ptbr_money,
+    term_filter,
+)
+
+# Strings mirroring the reference corpus (fonte_de_recurso values,
+# FIXTURES.md F1) plus edge cases.
+SAMPLES = [
+    "17200000 - Transferências da União Referentes a Royalties",
+    "ROYALTIES DO PETRÓLEO",
+    "Recursos não vinculados de Impostos",
+    "Educação básica",
+    "Ação; pontuação!!! (teste)",
+    "  espaços  ",
+    "",
+    "15300000",
+    "Royalty-petróleo: R$ 1.234,56",
+]
+
+
+def reference_normalizar(texto: str) -> str:
+    """Reference semantics: aracaju_barra_pirambu_scraper.py:39-43."""
+    if not isinstance(texto, str):
+        return ""
+    texto = unicodedata.normalize("NFKD", texto).encode(
+        "ASCII", "ignore").decode("utf-8")
+    texto = re.sub(r"[^a-zA-Z0-9\s]", "", texto)
+    return texto.lower()
+
+
+def test_normalize_text_matches_reference_semantics(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["t"])
+    got = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
+    want = [reference_normalizar(s) for s in SAMPLES]
+    assert got == want
+
+
+def test_term_filter_matches_reference_any_contains(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["t"])
+    got = [r.m for r in df.select(term_filter("t").alias("m")).collect()]
+    want = [
+        any(term in reference_normalizar(s) for term in ROYALTY_TERMS)
+        for s in SAMPLES
+    ]
+    assert got == want
+    assert sum(got) == 4  # 17200000+royalties, royalties petroleo, 15300000, royaltypetroleo
+
+
+def test_money_parse(spark):
+    vals = ["R$ 178.530,84", "R$ 0,00", "R$ 1.234.567,89", "garbage", None,
+            "R$ -12,50"]
+    df = spark.createDataFrame([(v,) for v in vals], ["m"])
+    got = [r.d for r in df.select(
+        parse_ptbr_money("m").cast("double").alias("d")).collect()]
+    assert got == [178530.84, 0.0, 1234567.89, None, None, -12.50]
+
+
+def test_money_format_roundtrip(spark):
+    vals = [178530.84, 0.0, 1234567.89, 7482.53, 0.05]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = df.select(
+        format_ptbr_money("v").alias("brl"),
+        parse_ptbr_money(format_ptbr_money("v")).cast("double").alias("back"),
+    ).collect()
+    assert [r.brl for r in out] == [
+        "R$ 178.530,84", "R$ 0,00", "R$ 1.234.567,89", "R$ 7.482,53", "R$ 0,05"]
+    assert [r.back for r in out] == vals
+
+
+def test_br_date_parse(spark):
+    df = spark.createDataFrame([("31/01/2024",), ("26/12/2023",), ("bogus",)],
+                               ["d"])
+    got = [str(r.p) if r.p else None for r in
+           df.select(parse_br_date("d").alias("p")).collect()]
+    assert got == ["2024-01-31", "2023-12-26", None]
+
+
+def test_normalize_colname():
+    # detail-label -> snake_case (aracaju_barra_pirambu_scraper.py:183-189)
+    assert normalize_colname("Fonte de Recurso") == "fonte_de_recurso"
+    assert normalize_colname("Natureza Despesa:") == "natureza_despesa"
+    assert normalize_colname("Modalidade  Aplicação") == "modalidade_aplicacao"
+    # NFKD decomposes 'º' to 'o' — matches the observed column name 'no_doc'
+    # (OSR_aracaju_barra__pirambu.ipynb cell-32 output)
+    assert normalize_colname("Nº Doc") == "no_doc"

@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and an
+order-insensitive value hash (column-name-sorted, row-sorted string render
+with float rounding). Exits nonzero on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from etl_transparencia_sergipe_spark.session import get_spark
+from etl_transparencia_sergipe_spark.sources.catalog import TABLES
+
+import __spark_entry__ as entrymod
+
+
+def canonical(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def render(v):
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.6g}"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    rows = sorted(
+        ",".join(render(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, build in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = build(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        sn, sc, sh = canonical(sdf)
+        on, oc, oh = canonical(odf)
+        status = "OK  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status}  {name}: spark={sn} rows {sh} | duck={on} rows {oh}"
+              f" [{time.time()-t0:.1f}s]")
+        if status == "FAIL":
+            if sc != oc:
+                print(f"      cols spark={sc}\n      cols duck ={oc}")
+            elif sn == on:
+                merged = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True)
+                omerged = odf[sorted(odf.columns)].sort_values(
+                    sorted(odf.columns)).reset_index(drop=True)
+                diff = (merged.astype(str) != omerged.astype(str)).any(axis=1)
+                print("      first diffs (spark vs duck):")
+                print(merged[diff].head(3).to_string())
+                print(omerged[diff].head(3).to_string())
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
