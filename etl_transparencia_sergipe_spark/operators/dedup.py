@@ -1,0 +1,272 @@
+"""Deduplication operators (P9/P10, J6 — LLM-pipeline [EXT] surface).
+
+The reference's only dedup-adjacent behavior is idempotent month overwrite
+(``file_utils.py:57``); the north star mandates real dedup for training-data
+pipelines. Four tiers, all expressed in DataFrame ops so Catalyst plans them:
+
+- exact: ``dropDuplicates`` (hash aggregate).
+- MinHash+LSH: shingle -> minhash signature -> band -> bucket self-join ->
+  Jaccard verify. The signature/band computation is per-row codegen (no
+  shuffle); the only shuffles are the band-bucket join and the
+  candidate-pair verify join — this is the textbook scale-out shape: at
+  100 TB candidates are a tiny fraction of the n^2 pair space.
+- SimHash: 32-bit fingerprints, banded by 8-bit chunks, Hamming verify.
+- n-gram Jaccard: exact verify within cheap blocking keys.
+
+All hashing is cross-engine deterministic (operators/hashing.py), so every
+tier has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.hashing import (
+    HASH_A,
+    HASH_B,
+    MERSENNE,
+    h60_duck,
+    h60_spark,
+)
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens_spark(text: str) -> str:
+    return f"split(lower(trim({text})), '\\\\s+')"
+
+
+def tokens_duck(text: str) -> str:
+    return f"string_split_regex(lower(trim({text})), '\\s+')"
+
+
+def shingles_spark(text: str, n: int = 3) -> str:
+    """Distinct word n-grams as array<string> (Spark SQL expression)."""
+    toks = tokens_spark(text)
+    return (
+        f"array_distinct(CASE WHEN size({toks}) < {n} "
+        f"THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"j -> concat_ws(' ', slice({toks}, j, {n}))) END)"
+    )
+
+
+def shingles_duck(text: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles_spark` (list slice is inclusive)."""
+    toks = tokens_duck(text)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) < {n} "
+        f"THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(1, len({toks}) - {n - 2}), "
+        f"j -> array_to_string(({toks})[j:j+{n - 1}], ' ')) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """P9 exact dedup — hash-groupBy distinct on the key columns."""
+    return df.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 16, bands: int = 4,
+                      threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard >= threshold) via MinHash LSH.
+
+    k minhashes in `bands` bands of k/bands rows; a pair is a candidate iff
+    it collides in >= 1 band; candidates are verified with exact Jaccard
+    over the shingle sets. Returns DataFrame[id_a, id_b, jaccard].
+    """
+    r = k // bands
+    base = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"{shingles_spark(text_col, n)} AS sh",
+    ).selectExpr(
+        "doc_id", "sh",
+        f"transform(sh, s -> {h60_spark('s')} % {MERSENNE}) AS hs",
+    )
+    sig_cols = [
+        f"array_min(transform(hs, h -> ({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE})) AS mh{i}"
+        for i in range(k)
+    ]
+    sig = base.selectExpr("doc_id", "sh", *sig_cols)
+
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, {h60_spark(_band_key([f'mh{b * r + j}' for j in range(r)]))} AS band_hash)"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_hash") == F.col("y.band_hash"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sh = sig.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+                   "size(array_union(sh_a, sh_b))"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def _band_key(cols: list[str]) -> str:
+    return "concat_ws('_', " + ", ".join(cols) + ")"
+
+
+def minhash_lsh_pairs_duck(table: str, id_col: str, text_col: str,
+                           k: int = 16, bands: int = 4,
+                           threshold: float = 0.5, n: int = 3) -> str:
+    """DuckDB oracle SQL equivalent of :func:`minhash_lsh_pairs`."""
+    r = k // bands
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> ({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE})) AS mh{i}"
+        for i in range(k)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"{h60_duck(_band_key([f'mh{b * r + j}' for j in range(r)]))} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS doc_id, {shingles_duck(text_col, n)} AS sh
+        FROM {table}
+    ), hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> {h60_duck('s')} % {MERSENNE}) AS hs
+        FROM base
+    ), sig AS (
+        SELECT doc_id, sh, {sig_cols}
+        FROM hashed
+    ), banded AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = id_a
+    JOIN sig b ON b.doc_id = id_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_expr_spark(text: str) -> str:
+    """32-bit SimHash of whitespace tokens as a Spark SQL expression."""
+    toks = tokens_spark(text)
+    th = f"transform({toks}, t -> {h60_spark('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate({th}, 0L, (acc, h) -> acc + "
+        f"CASE WHEN shiftright(h, {j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"({bit_terms})"
+
+
+def simhash_expr_duck(text: str) -> str:
+    """DuckDB twin of :func:`simhash_expr_spark`."""
+    toks = tokens_duck(text)
+    th = f"list_transform({toks}, t -> {h60_duck('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({th}, h -> "
+        f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"({bit_terms})"
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: 8-bit band blocking + Hamming verify.
+
+    A pair with Hamming distance <= 6 over 32 bits must agree exactly on at
+    least one of the four 8-bit bands only probabilistically — bands are a
+    recall/cost tradeoff exactly as in the MinHash case.
+    Returns DataFrame[id_a, id_b, hamming].
+    """
+    fp = df.selectExpr(f"{id_col} AS doc_id",
+                       f"{simhash_expr_spark(text_col)} AS fp")
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, (shiftright(fp, {8 * b}) % 256) AS band_val)"
+        for b in range(4)
+    )
+    banded = fp.selectExpr(
+        "doc_id", "fp", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "fp", "band.band_id", "band.band_val")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_val") == F.col("y.band_val"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"),
+                F.expr("bit_count(x.fp ^ y.fp)").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_duck(table: str, id_col: str, text_col: str,
+                       max_hamming: int = 6) -> str:
+    """DuckDB oracle SQL equivalent of :func:`simhash_pairs`."""
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band_id, (fp >> {8 * b}) & 255 AS band_val FROM fp"
+        for b in range(4)
+    )
+    return f"""
+    WITH fp AS (
+        SELECT {id_col} AS doc_id, {simhash_expr_duck(text_col)} AS fp
+        FROM {table}
+    ), banded AS (
+        {band_selects}
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           bit_count(xor(x.fp, y.fp)) AS hamming
+    FROM banded x JOIN banded y
+      ON x.band_id = y.band_id AND x.band_val = y.band_val
+     AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.fp, y.fp)) <= {max_hamming}
+    """

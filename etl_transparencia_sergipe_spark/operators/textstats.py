@@ -1,0 +1,109 @@
+"""Text-analysis operators (LLM-pipeline [EXT]): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (codegen'd, no Python) with DuckDB twins. The
+reference's text handling is the normalizar pipeline
+(aracaju_barra_pirambu_scraper.py:39-43); these generalize it to the
+training-data-curation surface mandated by the north star.
+"""
+
+from __future__ import annotations
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Deterministic tie order: en > es > de > fr > zh (argmax by count, then
+# this priority).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "es", "una"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh": ("de5", "shi4", "le5", "bu4", "zai4", "you3", "he2", "ren2"),
+}
+
+_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+
+def _inlist(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def lang_hits_spark(tokens_expr: str, lang: str) -> str:
+    return (f"size(filter({tokens_expr}, "
+            f"t -> t IN ({_inlist(LANG_STOPWORDS[lang])})))")
+
+
+def lang_hits_duck(tokens_expr: str, lang: str) -> str:
+    return (f"len(list_filter({tokens_expr}, "
+            f"t -> t IN ({_inlist(LANG_STOPWORDS[lang])})))")
+
+
+def langid_case(hits_fn, tokens_expr: str) -> str:
+    """Argmax over language hit counts with deterministic priority order.
+
+    Emits a CASE chain: a language wins iff its count is strictly greater
+    than every higher-priority language and >= every lower-priority one;
+    all-zero -> 'und'.
+    """
+    counts = {g: hits_fn(tokens_expr, g) for g in _PRIORITY}
+    top = f"greatest({', '.join(counts.values())})"
+    whens = []
+    for g in _PRIORITY:
+        whens.append(f"WHEN {counts[g]} = {top} THEN '{g}'")
+    return (f"CASE WHEN {top} = 0 THEN 'und' " + " ".join(whens) + " END")
+
+
+def quality_score_spark(text: str) -> str:
+    """Composite quality score in [0,1]: length band + alpha ratio +
+    mean-word-length band. Mirrors common pretraining-corpus filters."""
+    toks = f"split(lower(trim({text})), '\\\\s+')"
+    n_chars = f"length({text})"
+    n_alpha = f"length(regexp_replace({text}, '[^a-zA-Z]', ''))"
+    n_tok = f"size({toks})"
+    return (
+        f"round((CASE WHEN {n_chars} BETWEEN 64 AND 4096 THEN 0.4 ELSE 0.0 END)"
+        f" + (CASE WHEN {n_chars} > 0 AND CAST({n_alpha} AS DOUBLE) / {n_chars} > 0.6"
+        f" THEN 0.3 ELSE 0.0 END)"
+        f" + (CASE WHEN {n_tok} > 0 AND CAST({n_chars} AS DOUBLE) / {n_tok}"
+        f" BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END), 2)"
+    )
+
+
+def quality_score_duck(text: str) -> str:
+    toks = f"string_split_regex(lower(trim({text})), '\\s+')"
+    n_chars = f"length({text})"
+    n_alpha = f"length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))"
+    n_tok = f"len({toks})"
+    return (
+        f"round((CASE WHEN {n_chars} BETWEEN 64 AND 4096 THEN 0.4 ELSE 0.0 END)"
+        f" + (CASE WHEN {n_chars} > 0 AND CAST({n_alpha} AS DOUBLE) / {n_chars} > 0.6"
+        f" THEN 0.3 ELSE 0.0 END)"
+        f" + (CASE WHEN {n_tok} > 0 AND CAST({n_chars} AS DOUBLE) / {n_tok}"
+        f" BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END), 2)"
+    )
+
+
+# BPE-ish subword proxy: count alternating alpha runs / digit runs /
+# punctuation singletons — a cheap, deterministic stand-in for a tokenizer
+# vocabulary count. NOTE: Spark SQL string literals process backslash
+# escapes ('\s' -> 's'), so the Spark-side literal needs '\\s'; DuckDB
+# literals keep backslashes as-is.
+_BPE_SPARK = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+_BPE_DUCK = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_token_count_spark(text: str) -> str:
+    return f"regexp_count({text}, '{_BPE_SPARK}')"
+
+
+def bpe_token_count_duck(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{_BPE_DUCK}'))"
+
+
+def fingerprint_spark(text: str) -> str:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text (stable under reflow/case changes)."""
+    return f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+
+
+def fingerprint_duck(text: str) -> str:
+    return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"

@@ -1,2 +1,80 @@
-"""Similarity-search queries (J6, ANN over embeddings) — filled in as
-operators land."""
+"""Similarity-search queries (J6 / ANN) over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.similarity import (
+    cosine_expr_duck,
+    cosine_expr_spark,
+    cosine_topk,
+    cosine_topk_duck,
+)
+from etl_transparencia_sergipe_spark.plans._helpers import load
+from etl_transparencia_sergipe_spark.plans.registry import register
+
+
+@register(
+    "q40_knn_bruteforce",
+    oracle=cosine_topk_duck("embeddings", k=5, query_pred="vec_id < 8"),
+    doc="J6 brute-force cosine top-k ANN baseline: broadcast query set x "
+        "corpus scan, window rank [EXT]",
+)
+def q40_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+@register(
+    "q41_embedding_label_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))),
+               6) AS DECIMAL(12,6))) AS DOUBLE) AS sum_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="vector norm stats per label (array fold, no UDF) [EXT]",
+)
+def q41_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(norm, 6).cast("decimal(12,6)"))
+        .cast("double").alias("sum_norm"),
+    )
+
+
+@register(
+    "q42_cosine_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {cosine_expr_duck('a.embedding', 'b.embedding')} AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.4
+    """,
+    doc="J6 embedding-cosine near-dup pairs, label-blocked (the IVF-style "
+        "scale path: candidates only within a coarse bucket) [EXT]",
+)
+def q42_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.expr(cosine_expr_spark("a.embedding", "b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") > 0.4)
+    )

@@ -49,3 +49,103 @@ def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(toks).alias("min_tokens"),
         F.max(toks).alias("max_tokens"),
     )
+
+
+from etl_transparencia_sergipe_spark.operators.textstats import (  # noqa: E402
+    bpe_token_count_duck,
+    bpe_token_count_spark,
+    fingerprint_duck,
+    fingerprint_spark,
+    lang_hits_duck,
+    lang_hits_spark,
+    langid_case,
+    quality_score_duck,
+    quality_score_spark,
+)
+
+_TOKS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_TOKS_DUCK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "q21_quality_scores",
+    oracle=f"""
+    SELECT {quality_score_duck('text')} AS quality,
+           COUNT(*) AS n_docs,
+           {dsum_sql('n_chars', 0)} AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="quality scoring: length band + alpha ratio + mean word length "
+        "(pretraining-filter shape) [EXT F16]",
+)
+def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.selectExpr(f"{quality_score_spark('text')} AS quality", "n_chars")
+        .groupBy("quality")
+        .agg(F.count("*").alias("n_docs"), dsum("n_chars", 0).alias("total_chars"))
+    )
+
+
+@register(
+    "q22_langid_heuristic",
+    oracle=f"""
+    SELECT lang AS lang_label,
+           {langid_case(lang_hits_duck, _TOKS_DUCK)} AS lang_pred,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="language-ID heuristic: stopword-hit argmax with deterministic "
+        "tie order, cross-tabbed vs the labeled lang [EXT F16]",
+)
+def q22_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.selectExpr(
+            "lang AS lang_label",
+            f"{langid_case(lang_hits_spark, _TOKS_SPARK)} AS lang_pred",
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q23_bpe_token_count",
+    oracle=f"""
+    SELECT source,
+           {dsum_sql(bpe_token_count_duck('text'), 0)} AS total_bpe_tokens,
+           MAX({bpe_token_count_duck('text')}) AS max_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="BPE-ish regex token counting (alpha runs / digit runs / punct "
+        "singletons) per source [EXT F16]",
+)
+def q23_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    cnt = F.expr(bpe_token_count_spark("text"))
+    return docs.groupBy("source").agg(
+        dsum(cnt, 0).alias("total_bpe_tokens"),
+        F.max(cnt).alias("max_bpe_tokens"),
+    )
+
+
+@register(
+    "q24_fingerprint_dedup",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT {fingerprint_duck('text')}) AS n_fingerprints,
+           MIN({fingerprint_duck('text')}) AS min_fp
+    FROM documents
+    """,
+    doc="document fingerprinting (md5 of whitespace-normalized text) as "
+        "a dedup key [EXT F16]",
+)
+def q24_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    fp = F.expr(fingerprint_spark("text"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_fingerprints"),
+        F.min(fp).alias("min_fp"),
+    )

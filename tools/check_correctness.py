@@ -99,9 +99,9 @@ def main() -> int:
             if sc != oc:
                 print(f"      cols spark={sc}\n      cols duck ={oc}")
             elif sn == on:
-                merged = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True)
-                omerged = odf[sorted(odf.columns)].sort_values(
-                    sorted(odf.columns)).reset_index(drop=True)
+                cols = sorted(sdf.columns)
+                merged = sdf[cols].sort_values(cols).reset_index(drop=True)
+                omerged = odf[cols].sort_values(cols).reset_index(drop=True)
                 diff = (merged.astype(str) != omerged.astype(str)).any(axis=1)
                 print("      first diffs (spark vs duck):")
                 print(merged[diff].head(3).to_string())
