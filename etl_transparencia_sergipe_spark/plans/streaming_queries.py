@@ -1,2 +1,110 @@
-"""Windowed event queries (§2.10 batch equivalents) — filled in as
-operators land."""
+"""Batch-equivalent oracle queries for the streaming surface (§2.10).
+
+The window builders in streaming/windows.py run unchanged on batch and
+streaming frames (one logical plan, two sinks); here they run in batch mode
+against DuckDB oracles. Streaming execution itself (watermarks, availableNow
+micro-batching, memory/foreachBatch sinks, stateful dedup) is exercised in
+tests/test_streaming.py — those semantics have no SQL oracle by nature.
+
+Window starts are emitted as formatted strings: cross-engine timestamp
+objects are representation-fragile, strings are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.plans._helpers import dsum, dsum_sql, load
+from etl_transparencia_sergipe_spark.plans.registry import register
+from etl_transparencia_sergipe_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _bucket_duck(sec: int, shift_sec: int = 0) -> str:
+    """DuckDB: epoch-aligned window start (minus shift) as a naive UTC ts."""
+    return (
+        f"CAST(to_timestamp(((epoch_us(ts) // {sec * 1_000_000}) * {sec})"
+        f" - {shift_sec}) AS TIMESTAMP)"
+    )
+
+
+@register(
+    "q50_tumbling_window",
+    oracle=f"""
+    SELECT strftime({_bucket_duck(600)}, '{_FMT_DUCK}') AS win_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="§2.10 tumbling window (10 min) per event_type — same plan runs "
+        "under readStream with a watermark (tests/test_streaming.py)",
+)
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return tumbling_counts(ev, "10 minutes").select(
+        F.date_format("win_start", _FMT_SPARK).alias("win_start"),
+        "event_type", "n", "total_value",
+    )
+
+
+@register(
+    "q51_sliding_window",
+    oracle=f"""
+    WITH panes AS (
+        SELECT {_bucket_duck(300)} AS win_start, value FROM events
+        UNION ALL
+        SELECT {_bucket_duck(300, 300)} AS win_start, value FROM events
+    )
+    SELECT strftime(win_start, '{_FMT_DUCK}') AS win_start,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM panes GROUP BY 1
+    """,
+    doc="§2.10 sliding window (10 min / 5 min slide): every event lands in "
+        "exactly two panes",
+)
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return sliding_counts(ev, "10 minutes", "5 minutes").select(
+        F.date_format("win_start", _FMT_SPARK).alias("win_start"),
+        "n", "total_value",
+    )
+
+
+@register(
+    "q52_session_windows",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_FMT_DUCK}') AS sess_start,
+           strftime(MAX(ts) + INTERVAL 5 MINUTE, '{_FMT_DUCK}') AS sess_end,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+    doc="§2.10 gap-based session windows (session_window, 5 min gap) — "
+        "oracle is the classic gaps-and-islands rewrite",
+)
+def q52_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return session_stats(ev, "5 minutes").select(
+        "user_id",
+        F.date_format("sess_start", _FMT_SPARK).alias("sess_start"),
+        F.date_format("sess_end", _FMT_SPARK).alias("sess_end"),
+        "n_events", "total_value",
+    )

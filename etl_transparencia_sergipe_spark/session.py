@@ -48,6 +48,10 @@ def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local-literal frames (createDataFrame/range) default to 1024
+        # partitions in this build — cap at core count so tiny dimension
+        # frames don't fan into thousands of no-op tasks
+        .config("spark.sql.leafNodeDefaultParallelism", str(cores))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,104 @@
+"""Streaming-execution semantics (§2.10): the same window plans running
+under readStream with availableNow micro-batching, watermarks, stateful
+dedup, and the foreachBatch partitioned sink. No SQL oracle exists for
+these by nature — batch/stream result equivalence IS the check."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.sources.catalog import load_table
+from etl_transparencia_sergipe_spark.streaming import (
+    events_stream,
+    foreach_batch_partitioned_sink,
+    run_to_memory,
+    session_stats,
+    tumbling_counts,
+)
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = tumbling_counts(load_table(spark, "events", sf_dir), "10 minutes")
+    stream = tumbling_counts(
+        events_stream(spark, sf_dir), "10 minutes", watermark="10 minutes")
+    q = run_to_memory(stream, "t_tumb", output_mode="complete")
+    try:
+        got = _collect_sorted(
+            spark.sql("SELECT * FROM t_tumb"),
+            ["win_start", "event_type", "n", "total_value"])
+        want = _collect_sorted(
+            batch, ["win_start", "event_type", "n", "total_value"])
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_stream_session_windows_equal_batch(spark, sf_dir):
+    batch = session_stats(load_table(spark, "events", sf_dir), "5 minutes")
+    stream = session_stats(
+        events_stream(spark, sf_dir), "5 minutes", watermark="10 minutes")
+    q = run_to_memory(stream, "t_sess", output_mode="complete")
+    try:
+        got = _collect_sorted(
+            spark.sql("SELECT * FROM t_sess"),
+            ["user_id", "sess_start", "sess_end", "n_events"])
+        want = _collect_sorted(
+            batch, ["user_id", "sess_start", "sess_end", "n_events"])
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir):
+    # stateful streaming dedup on (user_id, event_type)
+    stream = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = run_to_memory(stream, "t_dedup", output_mode="append")
+    try:
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT user_id || '_' || event_type) AS d"
+            " FROM t_dedup").collect()[0]
+        # every surviving row is a distinct key; count equals distinct count
+        assert got.n == got.d
+        batch_keys = (
+            load_table(spark, "events", sf_dir)
+            .select("user_id", "event_type").distinct().count()
+        )
+        # single-file source => single watermark epoch => exact global dedup
+        assert got.n == batch_keys
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_partitioned_sink(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="sink_")
+    try:
+        stream = events_stream(spark, sf_dir)
+        q = (
+            stream.writeStream
+            .foreachBatch(foreach_batch_partitioned_sink(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        written = spark.read.parquet(out)
+        src = load_table(spark, "events", sf_dir)
+        assert written.count() == src.count()
+        # hive layout: partition columns recovered from paths
+        assert {"event_type", "event_date"} <= set(written.columns)
+        n_parts = written.select("event_type", "event_date").distinct().count()
+        assert n_parts > 1
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
