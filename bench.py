@@ -35,7 +35,14 @@ HEADLINE = [
     "q14_range_join_ship_lag",
     "q15_json_extract_events",
     "q20_token_stats",
+    "q22_langid_heuristic",
     "q30_exact_dedup",
+    "q31_minhash_lsh_dedup",
+    "q32_simhash_dedup",
+    "q40_knn_bruteforce",
+    "q50_tumbling_window",
+    "q52_session_windows",
+    "q70_multimodal_metadata",
 ]
 
 

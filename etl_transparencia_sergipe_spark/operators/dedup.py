@@ -192,10 +192,10 @@ def minhash_lsh_pairs_duck(table: str, id_col: str, text_col: str,
 SIMHASH_BITS = 32
 
 
-def simhash_expr_spark(text: str) -> str:
-    """32-bit SimHash of whitespace tokens as a Spark SQL expression."""
-    toks = tokens_spark(text)
-    th = f"transform({toks}, t -> {h60_spark('t')})"
+def simhash_from_hashes_spark(th: str) -> str:
+    """32-bit SimHash from a PRECOMPUTED bigint token-hash array column —
+    hashing once and folding 32 bit-sums over the array keeps the md5 cost
+    at O(tokens), not O(32 * tokens)."""
     bit_terms = " + ".join(
         f"(CASE WHEN aggregate({th}, 0L, (acc, h) -> acc + "
         f"CASE WHEN shiftright(h, {j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -205,10 +205,8 @@ def simhash_expr_spark(text: str) -> str:
     return f"({bit_terms})"
 
 
-def simhash_expr_duck(text: str) -> str:
-    """DuckDB twin of :func:`simhash_expr_spark`."""
-    toks = tokens_duck(text)
-    th = f"list_transform({toks}, t -> {h60_duck('t')})"
+def simhash_from_hashes_duck(th: str) -> str:
+    """DuckDB twin of :func:`simhash_from_hashes_spark`."""
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform({th}, h -> "
         f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
@@ -227,8 +225,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     recall/cost tradeoff exactly as in the MinHash case.
     Returns DataFrame[id_a, id_b, hamming].
     """
-    fp = df.selectExpr(f"{id_col} AS doc_id",
-                       f"{simhash_expr_spark(text_col)} AS fp")
+    toks = tokens_spark(text_col)
+    fp = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"transform({toks}, t -> {h60_spark('t')}) AS th",
+    ).selectExpr("doc_id", f"{simhash_from_hashes_spark('th')} AS fp")
     band_structs = ", ".join(
         f"struct({b} AS band_id, (shiftright(fp, {8 * b}) % 256) AS band_val)"
         for b in range(4)
@@ -257,9 +258,14 @@ def simhash_pairs_duck(table: str, id_col: str, text_col: str,
         for b in range(4)
     )
     return f"""
-    WITH fp AS (
-        SELECT {id_col} AS doc_id, {simhash_expr_duck(text_col)} AS fp
+    WITH hashed AS (
+        SELECT {id_col} AS doc_id,
+               list_transform({tokens_duck(text_col)},
+                              t -> {h60_duck('t')}) AS th
         FROM {table}
+    ), fp AS (
+        SELECT doc_id, {simhash_from_hashes_duck('th')} AS fp
+        FROM hashed
     ), banded AS (
         {band_selects}
     )

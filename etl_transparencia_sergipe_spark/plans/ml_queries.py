@@ -1,2 +1,134 @@
-"""ML-parity queries (A4-A6: scaler/KMeans/correlation) — filled in as
-operators land."""
+"""ML-parity + multimodal queries (A4-A6, §3.3; north-star multimodal).
+
+KMeans is not SQL-expressible -> rows-only check (driver contract permits
+this, __spark_entry__ docstring). Scaler stats and correlation ARE
+expressible from exact decimal sums, so they get full oracles. Multimodal
+metadata is expressible (byte length/md5 over the text-derived payload);
+the mapInPandas feature extraction is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.ml import kmeans_clusters, scaler_stats
+from etl_transparencia_sergipe_spark.plans._helpers import load
+from etl_transparencia_sergipe_spark.plans.registry import register
+from etl_transparencia_sergipe_spark.sources.multimodal import (
+    extract_features,
+    media_from_documents,
+)
+
+
+def _stats_sql(c: str) -> str:
+    s1 = f"CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST({c} * {c} AS DECIMAL(28,6))) AS DOUBLE)"
+    n = f"COUNT({c})"
+    return (f"{s1} / {n} AS {c}_mean, "
+            f"sqrt({s2} / {n} - ({s1} / {n}) * ({s1} / {n})) AS {c}_std_pop")
+
+
+@register(
+    "q60_scaler_stats",
+    oracle=f"""
+    SELECT {_stats_sql('l_quantity')}, {_stats_sql('l_extendedprice')},
+           {_stats_sql('l_discount')}
+    FROM lineitem
+    """,
+    doc="A4 StandardScaler fit stats (mean/std) from exact decimal sums "
+        "(data_science.ipynb:95-96 parity)",
+)
+def q60_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return scaler_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "q61_correlation_pairs",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_r FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    """,
+    doc="A5 Pearson correlation pairs (data_science.ipynb:126 parity), "
+        "rounded to 6 dp for cross-engine float stability",
+)
+def q61_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    pairs = [("l_quantity", "l_extendedprice"),
+             ("l_quantity", "l_discount"),
+             ("l_extendedprice", "l_discount")]
+    frames = [
+        li.agg(F.round(F.corr(a, b), 6).alias("corr_r")).select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), "corr_r")
+        for a, b in pairs
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@register(
+    "q62_kmeans_clusters",
+    oracle=None,  # iterative algorithm — rows-only check (3 stable rows)
+    doc="A6 KMeans k=3 seed=42 over scaled (quantity, price, discount) — "
+        "cluster cardinality + per-cluster means (data_science.ipynb:99-100)",
+)
+def q62_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_extendedprice", "l_discount")
+    clustered = kmeans_clusters(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], k=3, seed=42)
+    return (
+        clustered.groupBy("cluster")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q70_multimodal_metadata",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+           WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           COUNT(*) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MIN(md5(text)) AS min_checksum
+    FROM documents GROUP BY 1
+    """,
+    doc="multimodal binary columns: typed payload + metadata agg "
+        "(octet length, checksum) — the decode-free scan path [EXT]",
+)
+def q70_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    media = media_from_documents(spark, docs)
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+        F.min(F.md5("content")).alias("min_checksum"),
+    )
+
+
+@register(
+    "q71_multimodal_features",
+    oracle=None,  # mapInPandas decode stage — rows-only check
+    doc="multimodal feature extraction via Arrow mapInPandas (stubbed "
+        "decoder; real Spark plumbing) [EXT]",
+)
+def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    media = media_from_documents(spark, docs)
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("feat_mean"), 4).alias("avg_feat"),
+        F.max("feat_dim").alias("max_dim"),
+    )

@@ -1,0 +1,94 @@
+"""Multimodal column plumbing (north-star [EXT]): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the DECODE step is stubbed:
+``decode_image`` raises ``NotImplementedError`` unless PIL is importable,
+and the default feature extractor is a deterministic fake (byte stats +
+md5). Everything Spark-side — schema, partitioning, UDF signature, Arrow
+batch shape — is real and tested; a real decoder drops in behind the same
+signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id bigint, media_type string, content binary, "
+                "meta_width int, meta_height int, source string")
+
+FEATURE_SCHEMA = ("media_id bigint, media_type string, n_bytes int, "
+                  "checksum string, feat_mean double, feat_dim int")
+
+try:  # real decoder only if an imaging lib exists (not in this container)
+    import PIL.Image  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def media_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture: the
+    text bytes stand in for an encoded image payload."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.pmod(F.col("n_chars"), F.lit(1024)).cast("int").alias("meta_width"),
+        F.pmod(F.col("doc_id"), F.lit(768)).cast("int").alias("meta_height"),
+        "source",
+    )
+
+
+def decode_image(content: bytes):
+    """Real decode path — STUB: requires an imaging library."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow (not in this container); "
+            "plug a real decoder into extract_features(decode_fn=...)")
+    import io
+
+    return PIL.Image.open(io.BytesIO(content))
+
+
+def fake_decode_features(content: bytes) -> tuple[float, int]:
+    """Deterministic stand-in for decode+feature-extract: mean byte value
+    and a fake 'dimension' from the payload length."""
+    if content is None or len(content) == 0:
+        return 0.0, 0
+    return sum(content) / len(content), min(len(content), 2048)
+
+
+def extract_features(media: DataFrame, decode_fn=fake_decode_features,
+                     batch_parallelism: int | None = None) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow moves the binary column to Python in columnar batches; the
+    decode loop is per-row inside the batch (decoding is inherently
+    per-payload) but amortizes interpreter overhead across the batch.
+    """
+    if batch_parallelism:
+        media = media.repartition(batch_parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_fn(c) for c in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(c) if c is not None else 0
+                            for c in pdf["content"]],
+                "checksum": [hashlib.md5(c or b"").hexdigest()
+                             for c in pdf["content"]],
+                "feat_mean": [f[0] for f in feats],
+                "feat_dim": [f[1] for f in feats],
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

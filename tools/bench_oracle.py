@@ -1,0 +1,49 @@
+"""DuckDB oracle timings for the same headline queries — the BASELINE
+stand-in (the reference publishes no benchmarks; BASELINE.md §'Engine
+bench target'). Prints one JSON line shaped like bench.py's."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from bench import HEADLINE
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    from etl_transparencia_sergipe_spark.sources.catalog import TABLES
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = entrymod.oracle_sql()
+    names = [n for n in HEADLINE if n in oracles]
+    con.execute(oracles[names[0]])  # warmup
+
+    timings = {}
+    for n in names:
+        t0 = time.perf_counter()
+        con.execute(oracles[n]).fetchall()
+        timings[n] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "metric": "duckdb_oracle_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
