@@ -1,0 +1,66 @@
+"""Scale-engineering operators: bucketed co-located joins, skew salting.
+
+These are the knobs the 100 TB mandate calls for beyond what AQE does
+automatically:
+
+- ``write_bucketed`` / bucketed joins: pre-shuffle both fact tables into
+  the same bucket layout so every later join/agg on the key is
+  shuffle-free (SortMergeJoin with no Exchange). On a cluster this is the
+  difference between re-shuffling 100 TB per query and never shuffling it
+  again.
+- ``salted_agg``: two-phase aggregation for skewed group keys — partial
+  agg on (key, salt), final agg on key. AQE's skew handling covers joins;
+  hot-key aggregation still benefits from explicit salting.
+- ``salted_join``: explicit salt-and-replicate for skewed join keys when
+  AQE's split threshold isn't enough (the left/hot side gets a random-ish
+  deterministic salt; the small side is replicated salt_n times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist as a bucketed+sorted managed table (co-location layout)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key).sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def salted_agg(df: DataFrame, key: str, agg_col: str,
+               salt_n: int = 16) -> DataFrame:
+    """sum/count on a skewed key via two-phase salted aggregation.
+
+    Returns DataFrame[key, total, n] identical to the direct groupBy —
+    but the first shuffle spreads each hot key over ``salt_n`` reducers.
+    Sums ride exact decimals so the two-phase result is bit-identical.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(F.col(agg_col).cast("decimal(28,6)")).alias("_s"),
+             F.count("*").alias("_n"))
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("_s").cast("double").alias("total"),
+             F.sum("_n").alias("n"))
+    )
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_n: int = 8) -> DataFrame:
+    """Equi join where ``left.key`` is skewed: salt the left side, replicate
+    the right side ``salt_n`` times, join on (key, salt)."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("_salt")
+    right_rep = right.select("*", salts)
+    left_salted = left.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n)))
+    out = left_salted.join(right_rep, [key, "_salt"])
+    return out.drop("_salt")

@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         return
     from etl_transparencia_sergipe_spark.plans import (  # noqa: F401
         relational,
+        relational2,
         textops,
         dedup_queries,
         similarity_queries,

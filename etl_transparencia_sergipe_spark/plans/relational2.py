@@ -1,0 +1,219 @@
+"""Second relational batch: cube, exact percentiles, rank windows, array/
+map functions, filename parsing, membership lookup, as-of join, approx
+aggregates (SURVEY.md A8/A9, §2.5, F9/F15, P8, J5-adjacent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.joins import asof_join
+from etl_transparencia_sergipe_spark.plans._helpers import dsum, dsum_sql, load
+from etl_transparencia_sergipe_spark.plans.registry import register
+
+
+@register(
+    "q18_cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="A9 cube over (returnflag, linestatus) incl. all subtotal planes",
+)
+def q18_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+
+
+@register(
+    "q19_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, [0.25, 0.75])[1] AS p25_price,
+           quantile_cont(l_extendedprice, [0.25, 0.75])[2] AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact percentiles (continuous interpolation) per group — Spark "
+        "percentile == DuckDB quantile_cont",
+)
+def q19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile("l_extendedprice", 0.75).alias("p75_price"),
+    )
+
+
+@register(
+    "q25_rank_windows",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    QUALIFY rnk <= 20
+    """,
+    doc="§2.5 rank/dense_rank/ntile windows with top-20 filter",
+)
+def q25_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    wt = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(wt).alias("quartile"),
+        )
+        .filter("rnk <= 20")
+    )
+
+
+@register(
+    "q26_map_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT event_type,
+               unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, VARCHAR))))
+                   AS e
+        FROM events
+    )
+    SELECT event_type, e.key AS k, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS BIGINT)) AS BIGINT) AS sum_v
+    FROM kv GROUP BY 1, 2
+    """,
+    doc="F15 map functions: JSON -> MapType -> explode -> agg over entries",
+)
+def q26_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    m = ev.select(
+        "event_type",
+        F.from_json("props", "map<string,string>").alias("props_map"),
+    )
+    kv = m.select("event_type", F.explode("props_map").alias("k", "v"))
+    return kv.groupBy("event_type", "k").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("bigint")).cast("bigint").alias("sum_v"),
+    )
+
+
+@register(
+    "q27_filename_parse",
+    oracle="""
+    SELECT prefix, COUNT(*) AS n, MAX(mes) AS max_mes
+    FROM (
+        SELECT array_to_string(
+                   (string_split(source || '_royalties_2024_' ||
+                                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                                 '_'))[1:-3], '_') AS prefix,
+               CAST((string_split(source || '_royalties_2024_' ||
+                     lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                     '_'))[-1] AS INT) AS mes
+        FROM documents
+    ) GROUP BY prefix
+    """,
+    doc="F9 filename parse (split/slice/array_join) — the notebook's "
+        "'_'.join(name.split('_')[:-2]) prefix extraction "
+        "(OSR_aracaju_barra__pirambu.ipynb:1125-1131)",
+)
+def q27_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    fname = F.concat(
+        "source", F.lit("_royalties_2024_"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"))
+    parts = F.split(fname, "_")
+    parsed = docs.select(
+        F.array_join(F.slice(parts, 1, F.size(parts) - 2), "_").alias("prefix"),
+        F.element_at(parts, -1).cast("int").alias("mes"),
+    )
+    return parsed.groupBy("prefix").agg(
+        F.count("*").alias("n"), F.max("mes").alias("max_mes"))
+
+
+@register(
+    "q28_isin_lookup",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus NOT IN ('P')
+    GROUP BY o_orderpriority
+    """,
+    doc="P8 membership lookup (isin / not isin) "
+        "(teste_selenium.ipynb textos_possiveis loop)",
+)
+def q28_isin_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                 & ~F.col("o_orderstatus").isin("P"))
+        .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q34_asof_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               MAX_BY(o_orderkey, o_orderkey) AS o_orderkey,
+               MAX(o_totalprice) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           COUNT(o.o_orderkey) AS n_matched,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_matched_price
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    GROUP BY e.user_id
+    """,
+    doc="as-of join (backward): latest order per customer at event time, "
+        "via union-sort-window (no native Spark op; one shuffle) [EXT J5]",
+)
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    o = (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+             F.max("o_totalprice").alias("o_totalprice"))
+    )
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        o.withColumnRenamed("o_custkey", "k"),
+        on="k", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"])
+    return joined.groupBy(F.col("k").alias("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("sum_matched_price"),
+    )
+
+
+@register(
+    "q43_approx_aggregates",
+    oracle=None,  # approximate by design — engines use different sketches
+    doc="A8 approx_count_distinct (HLL) + approx percentile — rows-only "
+        "(sketch values are engine-specific by design)",
+)
+def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )

@@ -1,0 +1,82 @@
+"""Scale-engineering checks: bucketed joins skip the shuffle, salted
+aggregation/join match their unsalted equivalents, as-of join matches a
+per-group reference."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.joins import asof_join
+from etl_transparencia_sergipe_spark.operators.scale import (
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from etl_transparencia_sergipe_spark.sources.catalog import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders",
+                   "o_orderkey", 8)
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem",
+                   "l_orderkey", 8)
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # disable broadcast so the co-location actually matters
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout co-locates both sides
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    salted = salted_agg(li, "l_returnflag", "l_quantity", salt_n=16)
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+        .alias("total"),
+        F.count("*").alias("n"))
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    salted = salted_join(li, o, "l_orderkey", salt_n=8)
+    direct = li.join(o, "l_orderkey")
+    assert salted.count() == direct.count()
+    s = salted.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).collect()[0][0]
+    d = direct.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).collect()[0][0]
+    assert s == d
+
+
+def test_asof_join_matches_pandas_reference(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 7, 300.0), (4, 1, 400.0)],
+        "k int, rts int, val double")
+    got = {
+        (r.k, r.ts): r.val
+        for r in asof_join(left, right, "k", "ts", "rts", ["val"]).collect()
+    }
+    # k=1 ts=10 -> rts=8; ts=20 -> rts=15; ts=5 -> none; k=2 ts=7 -> rts=7
+    # (inclusive); k=3 -> no right rows
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (1, 5): None,
+                   (2, 7): 300.0, (3, 9): None}
