@@ -64,6 +64,102 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# sign-random-projection LSH (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+from etl_transparencia_sergipe_spark.operators.hashing import (  # noqa: E402
+    HASH_A,
+    HASH_B,
+    MERSENNE,
+)
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5]^dim, derived
+    from the shared hash-coefficient schedule — identical literals embed in
+    both the Spark expression and the DuckDB oracle."""
+    return [
+        [((HASH_A[p] * (d + 1) + HASH_B[p]) % MERSENNE) / MERSENNE - 0.5
+         for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec: str, planes: list[list[float]],
+                 arr, dot_fmt: str) -> str:
+    """SRP bucket id: bit p = sign(dot(vec, plane_p))."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = arr(plane)
+        dot = dot_fmt.format(a=vec, b=lit)
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def srp_bucket_spark(vec: str, planes: list[list[float]]) -> str:
+    return _bucket_expr(
+        vec, planes,
+        arr=lambda pl: "array(" + ", ".join(f"{x!r}D" for x in pl) + ")",
+        dot_fmt=DOT_SPARK)
+
+
+def srp_bucket_duck(vec: str, planes: list[list[float]]) -> str:
+    return _bucket_expr(
+        vec, planes,
+        arr=lambda pl: "[" + ", ".join(repr(x) for x in pl) + "]",
+        dot_fmt=DOT_DUCK)
+
+
+def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_pred: str = "vec_id < 8") -> DataFrame:
+    """Approximate top-k: queries only compare against corpus vectors in
+    the SAME SRP bucket — at scale the bucket join replaces the full cross
+    product (n/2^p candidates per query instead of n)."""
+    planes = hyperplanes(n_planes)
+    bucketed = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
+        f"{srp_bucket_spark(vec_col, planes)} AS bucket")
+    q = bucketed.filter(f"neighbor_id {query_pred.split(id_col)[-1]}") \
+        .selectExpr("neighbor_id AS query_id", "cv AS qv", "bucket")
+    joined = bucketed.join(F.broadcast(q), "bucket") \
+        .filter("query_id != neighbor_id")
+    scored = joined.selectExpr(
+        "query_id", "neighbor_id",
+        f"{cosine_expr_spark('qv', 'cv')} AS cos")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def lsh_topk_duck(table: str, k: int = 5, n_planes: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_pred: str = "vec_id < 8") -> str:
+    planes = hyperplanes(n_planes)
+    cos = cosine_expr_duck("q.qv", "c.cv")
+    return f"""
+    WITH b AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv,
+                      {srp_bucket_duck(vec_col, planes)} AS bucket
+               FROM {table}),
+         q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket
+               FROM b WHERE neighbor_id {query_pred.split(id_col)[-1]}),
+         scored AS (
+            SELECT q.query_id, c.neighbor_id, {cos} AS cos
+            FROM b c JOIN q ON c.bucket = q.bucket
+            WHERE q.query_id != c.neighbor_id
+         ),
+         ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+         )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_topk_duck(table: str, k: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      query_pred: str = "vec_id < 8") -> str:

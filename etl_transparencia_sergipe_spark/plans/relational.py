@@ -152,18 +152,23 @@ def q03_money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_utils.py:22-57)",
 )
 def q04_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase: per-order partial first, so the month-level agg needs no
+    # distinct expand (count of order groups == countDistinct(o_orderkey));
+    # at scale this halves the shuffled rows vs the naive expand plan
     o = load(spark, "orders", sf_dir)
     li = load(spark, "lineitem", sf_dir)
-    return (
+    per_order = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
             F.year("o_orderdate").alias("ano"),
             F.month("o_orderdate").alias("mes"),
+            "o_orderkey",
         )
-        .agg(
-            F.sum(revenue_col()).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-        )
+        .agg(F.sum(revenue_col()).alias("rev"))
+    )
+    return per_order.groupBy("ano", "mes").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
     )
 
 

@@ -10,6 +10,8 @@ from etl_transparencia_sergipe_spark.operators.similarity import (
     cosine_expr_spark,
     cosine_topk,
     cosine_topk_duck,
+    lsh_topk,
+    lsh_topk_duck,
 )
 from etl_transparencia_sergipe_spark.plans._helpers import load
 from etl_transparencia_sergipe_spark.plans.registry import register
@@ -24,6 +26,18 @@ from etl_transparencia_sergipe_spark.plans.registry import register
 def q40_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     return cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+@register(
+    "q44_lsh_ann_topk",
+    oracle=lsh_topk_duck("embeddings", k=5, n_planes=8),
+    doc="J6 sign-random-projection LSH ANN: deterministic hyperplanes -> "
+        "bucket join -> top-k within bucket (the 1/2^p candidate-pruning "
+        "scale path) [EXT]",
+)
+def q44_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return lsh_topk(emb, k=5, n_planes=8)
 
 
 @register(

@@ -131,6 +131,35 @@ def q23_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q29_tfidf_features",
+    oracle=None,  # HashingTF bucket ids are Spark-specific — rows-only
+    doc="F16 TF-IDF via ml.feature (Tokenizer -> HashingTF -> IDF): "
+        "per-language mean vector norm of weighted features [EXT]",
+)
+def q29_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = load(spark, "documents", sf_dir)
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 12)
+    words = tok.transform(docs)
+    tfd = tf.transform(words)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    from pyspark.ml.functions import vector_to_array
+
+    norm = F.sqrt(F.aggregate(
+        F.transform(vector_to_array("tfidf"), lambda x: x * x),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        out.withColumn("norm", norm)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("norm"), 4).alias("avg_tfidf_norm"))
+    )
+
+
+@register(
     "q24_fingerprint_dedup",
     oracle=f"""
     SELECT COUNT(*) AS n_docs,

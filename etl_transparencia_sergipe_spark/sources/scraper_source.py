@@ -56,6 +56,9 @@ def task_grid(spark: SparkSession, cidades: list[str], anos: list[int],
               meses: list[int] | None = None) -> DataFrame:
     """D1: the (cidade, ano, mes) cartesian task grid as a DataFrame."""
     meses = meses or list(range(1, 13))
+    if not cidades or not anos or not meses:
+        raise ValueError(
+            f"empty task grid: cidades={cidades} anos={anos} meses={meses}")
     # single-partition dims: the grid is tiny; parallelism comes from the
     # final repartition in fetch_grid, not from scattering literals
     c = spark.createDataFrame([(x,) for x in cidades], "cidade string").coalesce(1)
