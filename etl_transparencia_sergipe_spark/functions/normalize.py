@@ -62,13 +62,21 @@ def normalize_text_sql(expr: str) -> str:
 
 def term_filter(col: Column | str, terms: tuple[str, ...] = ROYALTY_TERMS,
                 pre_normalized: bool = False) -> Column:
-    """OR-of-contains over a term list, compiled to one ``rlike`` alternation
-    (P4). Matches ``any(termo in normalizar(v) for termo in TERMOS)``."""
+    """OR-of-contains over a term list (P4). Matches
+    ``any(termo in normalizar(v) for termo in TERMOS)``.
+
+    Compiled as a chain of ``contains`` (substring scans, whole-stage
+    codegen) rather than one ``rlike`` alternation: Java regex evaluation
+    is ~10x slower than memcmp-style contains for plain literals, and the
+    normalized column is computed once and shared across all terms.
+    """
     c = F.col(col) if isinstance(col, str) else col
     if not pre_normalized:
         c = normalize_text(c)
-    pattern = "|".join(re.escape(t) for t in terms)
-    return c.rlike(pattern)
+    pred = c.contains(terms[0])
+    for t in terms[1:]:
+        pred = pred | c.contains(t)
+    return pred
 
 
 def term_filter_sql(expr: str, terms: tuple[str, ...] = ROYALTY_TERMS,

@@ -100,11 +100,21 @@ def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
+    # materialize each language's hit count once, then argmax over the
+    # columns — the CASE chain compares counts ~2x each; recomputing the
+    # token filter per comparison would rescan the text array repeatedly
+    from etl_transparencia_sergipe_spark.operators.textstats import (
+        LANG_STOPWORDS,
+    )
+
+    hits = docs.selectExpr(
+        "lang AS lang_label",
+        *[f"{lang_hits_spark(_TOKS_SPARK, g)} AS hits_{g}"
+          for g in LANG_STOPWORDS],
+    )
+    pred = langid_case(lambda _t, g: f"hits_{g}", "_")
     return (
-        docs.selectExpr(
-            "lang AS lang_label",
-            f"{langid_case(lang_hits_spark, _TOKS_SPARK)} AS lang_pred",
-        )
+        hits.selectExpr("lang_label", f"{pred} AS lang_pred")
         .groupBy("lang_label", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
