@@ -90,6 +90,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     over the shingle sets. Returns DataFrame[id_a, id_b, jaccard].
     """
     r = k // bands
+    # hash each shingle once (array lambda); k permuted mins over the
+    # precomputed hash array. Measured against an explode+hash-agg variant:
+    # the per-row array path wins here because it avoids two extra
+    # shuffles, even though higher-order lambdas are interpreted.
     base = df.selectExpr(
         f"{id_col} AS doc_id",
         f"{shingles_spark(text_col, n)} AS sh",
@@ -102,6 +106,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         for i in range(k)
     ]
     sig = base.selectExpr("doc_id", "sh", *sig_cols)
+    # Persist the signatures: the sig subtree feeds FIVE plan branches
+    # (two band-join sides, two verify sides, bands themselves); without
+    # materialization, projection collapse inlines the whole
+    # shingle+md5+k-min computation into each branch and it executes 5x.
+    # MEMORY_AND_DISK spills instead of OOMing — at 100 TB signatures are
+    # persisted (or written) for exactly this reason. Spark evicts LRU.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_structs = ", ".join(
         f"struct({b} AS band_id, {h60_spark(_band_key([f'mh{b * r + j}' for j in range(r)]))} AS band_hash)"
@@ -230,6 +243,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         f"{id_col} AS doc_id",
         f"transform({toks}, t -> {h60_spark('t')}) AS th",
     ).selectExpr("doc_id", f"{simhash_from_hashes_spark('th')} AS fp")
+    # persist: fp feeds both self-join sides through the band explode;
+    # without it the 32-fold fingerprint computes once per consumer branch
+    # (see minhash_lsh_pairs for the materialization rationale)
+    from pyspark.storagelevel import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = ", ".join(
         f"struct({b} AS band_id, (shiftright(fp, {8 * b}) % 256) AS band_val)"
         for b in range(4)

@@ -121,6 +121,11 @@ def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
     bucketed = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
         f"{srp_bucket_spark(vec_col, planes)} AS bucket")
+    # persist: both join sides derive from bucketed; materialize so the
+    # n_planes dot products compute once per vector (see dedup.py)
+    from pyspark.storagelevel import StorageLevel
+
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     q = bucketed.filter(f"neighbor_id {query_pred.split(id_col)[-1]}") \
         .selectExpr("neighbor_id AS query_id", "cv AS qv", "bucket")
     joined = bucketed.join(F.broadcast(q), "bucket") \
