@@ -66,6 +66,45 @@ def fake_decode_features(content: bytes) -> tuple[float, int]:
     return sum(content) / len(content), min(len(content), 2048)
 
 
+FRAME_SCHEMA = ("media_id bigint, frame_idx int, frame_offset int, "
+                "frame_bytes int, frame_checksum string")
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  frame_size: int = 256) -> DataFrame:
+    """Frame sampling as a row-EXPANDING mapInPandas stage (UDTF shape):
+    each video payload yields up to ``n_frames`` evenly spaced byte
+    windows standing in for decoded frames. Real decoders replace the
+    slicing; the Spark plumbing (batch iterator in, multi-row frames out,
+    stable schema) is the part that matters at scale."""
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_offset": [],
+                   "frame_bytes": [], "frame_checksum": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = content or b""
+                k = min(n_frames, max(1, len(blob) // frame_size))
+                step = max(1, (len(blob) - frame_size) // max(1, k - 1)) \
+                    if len(blob) > frame_size else 1
+                for i in range(k):
+                    off = min(i * step, max(0, len(blob) - frame_size))
+                    frame = blob[off:off + frame_size]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_checksum"].append(
+                        hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("media_type") == "video/mp4")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
 def extract_features(media: DataFrame, decode_fn=fake_decode_features,
                      batch_parallelism: int | None = None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
