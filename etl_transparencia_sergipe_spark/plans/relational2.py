@@ -206,6 +206,68 @@ def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q36_upsert_merge",
+    oracle=f"""
+    WITH delta AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM delta d
+                          WHERE d.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="MERGE INTO emulation (anti-join + union upsert) — row-level "
+        "generalization of the reference's idempotent month overwrite "
+        "(file_utils.py:57) [EXT]",
+)
+def q36_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.upsert import upsert
+
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    delta = o.filter("o_orderkey % 7 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1)
+    merged = upsert(o, delta, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+
+
+@register(
+    "q37_unpivot",
+    oracle="""
+    SELECT l_returnflag, metric,
+           CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+        SELECT l_returnflag, 'qty' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    ) GROUP BY 1, 2
+    """,
+    doc="unpivot (wide->long via stack) + agg over the melted frame",
+)
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    melted = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', l_quantity, 'tax', l_tax, 'discount', l_discount)"
+        " AS (metric, val)",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(18,4)")).cast("double")
+        .alias("total"))
+
+
+@register(
     "q43_approx_aggregates",
     oracle=None,  # approximate by design — engines use different sketches
     doc="A8 approx_count_distinct (HLL) + approx percentile — rows-only "
