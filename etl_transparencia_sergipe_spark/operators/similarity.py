@@ -113,10 +113,16 @@ def srp_bucket_duck(vec: str, planes: list[list[float]]) -> str:
 
 def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_pred: str = "vec_id < 8") -> DataFrame:
+             query_pred: str = "vec_id < 8",
+             multiprobe: bool = False) -> DataFrame:
     """Approximate top-k: queries only compare against corpus vectors in
     the SAME SRP bucket — at scale the bucket join replaces the full cross
-    product (n/2^p candidates per query instead of n)."""
+    product (n/2^p candidates per query instead of n).
+
+    ``multiprobe=True`` additionally probes every 1-bit-flip neighbor
+    bucket (p+1 buckets per query): the standard recall/cost dial —
+    boundary vectors whose sign flipped on one hyperplane come back.
+    """
     planes = hyperplanes(n_planes)
     bucketed = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
@@ -128,8 +134,15 @@ def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
     bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     q = bucketed.filter(f"neighbor_id {query_pred.split(id_col)[-1]}") \
         .selectExpr("neighbor_id AS query_id", "cv AS qv", "bucket")
+    if multiprobe:
+        probes = ", ".join(
+            ["bucket"] + [f"bucket ^ {1 << j}" for j in range(n_planes)])
+        q = q.selectExpr(
+            "query_id", "qv",
+            f"explode(array({probes})) AS bucket")
     joined = bucketed.join(F.broadcast(q), "bucket") \
-        .filter("query_id != neighbor_id")
+        .filter("query_id != neighbor_id") \
+        .dropDuplicates(["query_id", "neighbor_id"])
     scored = joined.selectExpr(
         "query_id", "neighbor_id",
         f"{cosine_expr_spark('qv', 'cv')} AS cos")
@@ -141,17 +154,27 @@ def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
 
 def lsh_topk_duck(table: str, k: int = 5, n_planes: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  query_pred: str = "vec_id < 8") -> str:
+                  query_pred: str = "vec_id < 8",
+                  multiprobe: bool = False) -> str:
     planes = hyperplanes(n_planes)
     cos = cosine_expr_duck("q.qv", "c.cv")
+    if multiprobe:
+        probes = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_planes)])
+        q_cte = f"""q AS (
+            SELECT query_id, qv, unnest([{probes}]) AS bucket
+            FROM (SELECT neighbor_id AS query_id, cv AS qv, bucket
+                  FROM b WHERE neighbor_id {query_pred.split(id_col)[-1]}))"""
+    else:
+        q_cte = f"""q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket
+               FROM b WHERE neighbor_id {query_pred.split(id_col)[-1]})"""
     return f"""
     WITH b AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv,
                       {srp_bucket_duck(vec_col, planes)} AS bucket
                FROM {table}),
-         q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket
-               FROM b WHERE neighbor_id {query_pred.split(id_col)[-1]}),
+         {q_cte},
          scored AS (
-            SELECT q.query_id, c.neighbor_id, {cos} AS cos
+            SELECT DISTINCT q.query_id, c.neighbor_id, {cos} AS cos
             FROM b c JOIN q ON c.bucket = q.bucket
             WHERE q.query_id != c.neighbor_id
          ),

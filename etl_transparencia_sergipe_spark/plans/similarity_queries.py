@@ -41,6 +41,17 @@ def q44_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q45_lsh_multiprobe",
+    oracle=lsh_topk_duck("embeddings", k=5, n_planes=8, multiprobe=True),
+    doc="J6 multi-probe SRP-LSH ANN: probe the exact bucket plus every "
+        "1-bit-flip neighbor (p+1 probes) — the recall/cost dial [EXT]",
+)
+def q45_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return lsh_topk(emb, k=5, n_planes=8, multiprobe=True)
+
+
+@register(
     "q41_embedding_label_stats",
     oracle="""
     SELECT label,
