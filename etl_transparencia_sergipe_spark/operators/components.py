@@ -1,0 +1,87 @@
+"""Connected components over a near-dup pair graph — dedup CLUSTERS.
+
+A dedup pipeline doesn't stop at pairs: it groups transitively-linked
+documents and keeps one canonical per group. Spark-first implementation is
+iterative min-label propagation (alternating large-star/small-star style):
+each node adopts the smallest label among itself and its neighbors until a
+fixpoint. Each iteration is one join + one aggregate — the standard
+log-diameter algorithm that scales to billions of edges; near-dup graphs
+have tiny diameters, so it converges in a few rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """DataFrame[node, component] where component = min node id reachable.
+
+    ``pairs`` is an undirected edge list; isolated nodes absent from it
+    simply keep their own id (callers union them in if needed).
+    """
+    edges = (
+        pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
+        .unionByName(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # hop 1: min over neighbors' labels and own
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        hop = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("nbr_min", "component"))
+                .alias("component"),
+            )
+        )
+        # path halving (pointer jumping): follow component -> its
+        # component, so label distances double each round -> convergence
+        # in O(log diameter) iterations instead of O(diameter)
+        parent = hop.select(F.col("node").alias("component"),
+                            F.col("component").alias("grand"))
+        updated = (
+            hop.join(parent, "component", "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("grand", "component"))
+                .alias("component"),
+            )
+            # truncate lineage: each round otherwise stacks joins on the
+            # previous round's plan until planning/execution blows up
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "node")
+            .filter("u.component != l.component").take(1)
+        )
+        labels = updated
+        if not changed:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Cluster summary: component id (canonical doc = min id), member
+    count — the keep-one-per-cluster decision table."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max("node").alias("max_member"),
+    )

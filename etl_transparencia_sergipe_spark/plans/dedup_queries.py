@@ -85,6 +85,44 @@ def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({minhash_lsh_pairs_duck('documents', 'doc_id',
+                                                     'text', k=16, bands=4,
+                                                     threshold=0.4)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS m FROM edges
+        UNION
+        SELECT src AS node, dst AS m FROM edges
+        UNION
+        SELECT r.node, e.dst AS m
+        FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
+    FROM cc GROUP BY component
+    """,
+    doc="near-dup pairs -> connected components -> dedup clusters "
+        "(iterative min-label propagation; oracle = recursive transitive "
+        "closure) [EXT]",
+)
+def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.components import (
+        dedup_clusters,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=16, bands=4, threshold=0.4)
+    return dedup_clusters(pairs)
+
+
+@register(
     "q33_ngram_jaccard_topk",
     oracle=f"""
     WITH sh AS (

@@ -1,0 +1,36 @@
+"""Connected components / dedup clusters on known graphs."""
+
+from __future__ import annotations
+
+from etl_transparencia_sergipe_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_summary(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (100, 101)], "id_a bigint, id_b bigint")
+    got = {r.component: (r.n_members, r.max_member)
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {5: (3, 9), 100: (2, 101)}
+
+
+def test_components_converge_on_long_chain(spark):
+    # 30-node chain needs ~log-diameter rounds under min-propagation;
+    # ensure max_iter headroom is enough and the result is exact
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31
