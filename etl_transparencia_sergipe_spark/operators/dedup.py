@@ -238,13 +238,27 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     recall/cost tradeoff exactly as in the MinHash case.
     Returns DataFrame[id_a, id_b, hamming].
     """
+    # Explode tokens and compute the 32 bit-sums as ONE codegen'd hash
+    # aggregate instead of 32 interpreted array folds per document:
+    # higher-order-function lambdas are evaluated row-at-a-time with
+    # boxing, while explode + conditional SUMs stay in whole-stage
+    # codegen. Identical fingerprints (integer sums are order-free).
     toks = tokens_spark(text_col)
-    fp = df.selectExpr(
-        f"{id_col} AS doc_id",
-        f"transform({toks}, t -> {h60_spark('t')}) AS th",
-    ).selectExpr("doc_id", f"{simhash_from_hashes_spark('th')} AS fp")
-    # persist: fp feeds both self-join sides through the band explode;
-    # without it the 32-fold fingerprint computes once per consumer branch
+    tok_hash = df.selectExpr(
+        f"{id_col} AS doc_id", f"explode({toks}) AS t"
+    ).selectExpr("doc_id", f"{h60_spark('t')} AS h")
+    bit_sums = tok_hash.groupBy("doc_id").agg(*[
+        F.sum(F.expr(
+            f"CASE WHEN shiftright(h, {j}) % 2 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ])
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = bit_sums.selectExpr("doc_id", f"({fp_expr}) AS fp")
+    # persist: fp feeds both self-join sides through the band explode
     # (see minhash_lsh_pairs for the materialization rationale)
     from pyspark.storagelevel import StorageLevel
 
