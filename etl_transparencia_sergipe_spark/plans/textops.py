@@ -101,8 +101,8 @@ def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     # materialize each language's hit count once, then argmax over the
-    # columns — the CASE chain compares counts ~2x each; recomputing the
-    # token filter per comparison would rescan the text array repeatedly
+    # columns (an explode + hash-agg variant measured SLOWER here: the
+    # per-doc token counts are too small to amortize the extra shuffle)
     from etl_transparencia_sergipe_spark.operators.textstats import (
         LANG_STOPWORDS,
     )
