@@ -143,12 +143,14 @@ def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keys + exact 3-gram Jaccard, top-20 [EXT]",
 )
 def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     docs = load(spark, "documents", sf_dir)
     sh = docs.selectExpr(
         "doc_id", "lang",
         "n_chars div 100 AS len_band",
         f"{shingles_spark('text', 3)} AS sh",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
