@@ -52,6 +52,8 @@ def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
         # partitions in this build — cap at core count so tiny dimension
         # frames don't fan into thousands of no-op tasks
         .config("spark.sql.leafNodeDefaultParallelism", str(cores))
+        # Python Data Source filter pushdown (portal_datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

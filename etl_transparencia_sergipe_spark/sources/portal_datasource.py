@@ -1,0 +1,105 @@
+"""Custom Python Data Source for the paginated transparency portal
+(SURVEY.md §4 'custom DSv2 paginated-http source with filter pushdown',
+S1/S4 as a first-class source).
+
+``spark.read.format("transparencia_portal")`` exposes the portal as a
+proper table: one input partition per (cidade, ano, mes) task — the
+reference's thread-grid (aracaju_barra_pirambu_scraper.py:328-344) becomes
+Spark's partition planning — and equality filters on the partition
+dimensions are PUSHED INTO PLANNING: ``WHERE ano = 2024 AND cidade =
+'aracaju'`` prunes the task grid before any fetch happens, the engine
+analog of the reference composing year/month into the request URL
+(pacatuba_scraper.py:332-335).
+
+The fetch per partition is the deterministic synthetic generator (no live
+HTTP in this environment); a real fetcher replaces ``_fetch_rows`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+PORTAL_SCHEMA = (
+    "cidade string, ano int, mes int, "
+    "orgao string, unidade string, data string, empenho string, "
+    "processo string, credor string, cpf_cnpj string, pago string, "
+    "retido string, anulacao string, acao string, funcao string, "
+    "fonte_de_recurso string, historico_pagamento string"
+)
+
+_COLS = [c.split()[0] for c in PORTAL_SCHEMA.split(", ")]
+
+
+class TaskPartition(InputPartition):
+    def __init__(self, cidade: str, ano: int, mes: int):
+        self.cidade, self.ano, self.mes = cidade, ano, mes
+
+
+class PortalReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.cidades = options.get("cidades", "aracaju").split(",")
+        self.anos = [int(a) for a in options.get("anos", "2024").split(",")]
+        self.meses = [int(m) for m in options.get(
+            "meses", ",".join(map(str, range(1, 13)))).split(",")]
+
+    def pushFilters(self, filters):
+        """Equality filters on (cidade, ano, mes) prune the task grid at
+        planning time; everything else is returned for Spark to apply."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                col, v = f.attribute[0], f.value
+                if col == "cidade" and str(v) in self.cidades:
+                    self.cidades = [str(v)]
+                    continue
+                if col == "ano" and int(v) in self.anos:
+                    self.anos = [int(v)]
+                    continue
+                if col == "mes" and int(v) in self.meses:
+                    self.meses = [int(v)]
+                    continue
+            yield f  # not handled here -> Spark evaluates it post-scan
+
+    def partitions(self):
+        return [
+            TaskPartition(c, a, m)
+            for c in self.cidades for a in self.anos for m in self.meses
+        ]
+
+    def read(self, partition: TaskPartition):
+        import pandas as pd
+
+        from etl_transparencia_sergipe_spark.sources.scraper_source import (
+            synthetic_fetch,
+        )
+
+        tasks = pd.DataFrame({
+            "cidade": [partition.cidade],
+            "ano": [partition.ano],
+            "mes": [partition.mes],
+        })
+        rows = synthetic_fetch(tasks)
+        for row in rows.itertuples(index=False):
+            d = row._asdict()
+            yield tuple(d[c] for c in _COLS)
+
+
+class PortalDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "transparencia_portal"
+
+    def schema(self) -> str:
+        return PORTAL_SCHEMA
+
+    def reader(self, schema) -> PortalReader:
+        return PortalReader(self.options)
+
+
+def register(spark) -> None:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PortalDataSource)

@@ -1,0 +1,59 @@
+"""Custom Python Data Source: partition-per-task planning + equality
+filter pushdown pruning the task grid before any fetch."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_transparencia_sergipe_spark.sources import portal_datasource
+
+
+@pytest.fixture(scope="module")
+def portal(spark):
+    portal_datasource.register(spark)
+    return (
+        spark.read.format("transparencia_portal")
+        .option("cidades", "aracaju,pacatuba")
+        .option("anos", "2023,2024")
+        .option("meses", "1,2,3")
+    )
+
+
+def test_reads_full_grid(spark, portal):
+    df = portal.load()
+    assert df.count() > 0
+    combos = {(r.cidade, r.ano, r.mes) for r in
+              df.select("cidade", "ano", "mes").distinct().collect()}
+    assert len(combos) == 2 * 2 * 3
+
+
+def test_filter_pushdown_prunes_partitions(spark, portal):
+    full = portal.load()
+    pruned = portal.load().filter("ano = 2024 AND cidade = 'aracaju'")
+    # planning-time pruning: 12 task partitions -> 3
+    assert full.rdd.getNumPartitions() == 12
+    assert pruned.rdd.getNumPartitions() == 3
+    assert {(r.cidade, r.ano) for r in
+            pruned.select("cidade", "ano").distinct().collect()} \
+        == {("aracaju", 2024)}
+
+
+def test_unhandled_filters_still_applied(spark, portal):
+    # a non-equality predicate is NOT pushed; Spark must apply it post-scan
+    df = portal.load().filter("mes > 2")
+    assert {r.mes for r in df.select("mes").distinct().collect()} == {3}
+
+
+def test_matches_map_in_pandas_path(spark, portal):
+    from etl_transparencia_sergipe_spark.sources.scraper_source import (
+        fetch_grid,
+        task_grid,
+    )
+
+    via_ds = portal.load().filter("cidade = 'aracaju' AND ano = 2024")
+    via_mip = fetch_grid(
+        task_grid(spark, ["aracaju"], [2024], [1, 2, 3])
+    ).drop("fetch_error")
+    a = sorted(map(tuple, via_ds.select(*sorted(via_ds.columns)).collect()))
+    b = sorted(map(tuple, via_mip.select(*sorted(via_ds.columns)).collect()))
+    assert a == b
