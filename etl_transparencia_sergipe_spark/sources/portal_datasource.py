@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 PORTAL_SCHEMA = (
@@ -88,6 +89,53 @@ class PortalReader(DataSourceReader):
             yield tuple(d[c] for c in _COLS)
 
 
+class PortalStreamReader(SimpleDataSourceStreamReader):
+    """Streaming portal source: ONE (ano, mes) per micro-batch, in month
+    order — the reference's incremental month-at-a-time acquisition
+    (aracaju_barra_pirambu_scraper.py:317-351) as a true streaming source.
+    The offset is the month cursor, so restarts resume exactly where the
+    checkpoint left off (the 'already-scraped month' skip, D4/J4)."""
+
+    def __init__(self, options: dict):
+        self.cidades = options.get("cidades", "aracaju").split(",")
+        self.anos = [int(a) for a in options.get("anos", "2024").split(",")]
+        self.months = [(a, m) for a in sorted(self.anos)
+                       for m in range(1, 13)]
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        idx = start["idx"]
+        if idx >= len(self.months):
+            return iter([]), start
+        rows = self._rows_for(idx)
+        return iter(rows), {"idx": idx + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out = []
+        for idx in range(start["idx"], end["idx"]):
+            out.extend(self._rows_for(idx))
+        return iter(out)
+
+    def _rows_for(self, idx: int):
+        import pandas as pd
+
+        from etl_transparencia_sergipe_spark.sources.scraper_source import (
+            synthetic_fetch,
+        )
+
+        ano, mes = self.months[idx]
+        tasks = pd.DataFrame({
+            "cidade": self.cidades,
+            "ano": [ano] * len(self.cidades),
+            "mes": [mes] * len(self.cidades),
+        })
+        fetched = synthetic_fetch(tasks)
+        return [tuple(r._asdict()[c] for c in _COLS)
+                for r in fetched.itertuples(index=False)]
+
+
 class PortalDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -98,6 +146,9 @@ class PortalDataSource(DataSource):
 
     def reader(self, schema) -> PortalReader:
         return PortalReader(self.options)
+
+    def simpleStreamReader(self, schema) -> PortalStreamReader:
+        return PortalStreamReader(self.options)
 
 
 def register(spark) -> None:
