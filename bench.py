@@ -54,7 +54,12 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warmup: run the first query once to absorb JVM/codegen startup.
+    # Warmup: one pass over every table (JVM/reader init + OS page cache —
+    # the DuckDB twin benches against the same warm file cache) plus the
+    # first query for codegen startup.
+    from etl_transparencia_sergipe_spark.sources.catalog import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, t, sf_dir).count()
     qs[names[0]](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
