@@ -56,6 +56,10 @@ def format_ptbr_money_sql(expr: str) -> str:
     swap separators like the Spark side.
     """
     d = f"CAST({expr} AS DECIMAL(18,2))"
-    int_part = f"format('{{:,}}', CAST(trunc({d}) AS BIGINT))"
-    cents = f"lpad(CAST(abs(CAST({d} * 100 AS BIGINT)) % 100 AS VARCHAR), 2, '0')"
-    return f"('R$ ' || translate({int_part} || '.' || {cents}, '.,', ',.'))"
+    # sign must come from the VALUE, not from trunc(): trunc(-0.50) = 0
+    # loses the minus for amounts in (-1, 0)
+    sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END)"
+    int_part = f"format('{{:,}}', CAST(trunc(abs({d})) AS BIGINT))"
+    cents = f"lpad(CAST(CAST(abs({d}) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')"
+    return (f"('R$ ' || {sign} || "
+            f"translate({int_part} || '.' || {cents}, '.,', ',.'))")

@@ -63,10 +63,19 @@ def correlation_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            aggs.append(F.corr(a, b).alias(f"{a}|{b}"))
+            # try_divide: NULL (not DIVIDE_BY_ZERO under ANSI) when a
+            # column is constant — F.corr itself throws in that case
+            aggs.append(
+                F.try_divide(
+                    F.covar_samp(a, b),
+                    F.stddev_samp(a) * F.stddev_samp(b),
+                ).alias(f"{a}|{b}"))
     row = df.agg(*aggs).collect()[0]
     out = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            out.append((a, b, float(row[f"{a}|{b}"])))
+            v = row[f"{a}|{b}"]
+            # corr is NULL for constant columns / <2 complete rows —
+            # surface as NULL, don't crash on float(None)
+            out.append((a, b, float(v) if v is not None else None))
     return spark.createDataFrame(out, "col_a string, col_b string, corr double")

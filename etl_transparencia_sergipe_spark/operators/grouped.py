@@ -30,6 +30,7 @@ def group_profile(df: DataFrame, key: str, value_col: str) -> DataFrame:
             "iqr": [q3 - q1],
         })
 
-    out_schema = f"{key} string, n bigint, mean double, std double, " \
+    key_type = dict(df.dtypes)[key]  # keep the key's real type
+    out_schema = f"{key} {key_type}, n bigint, mean double, std double, " \
                  "median double, iqr double"
     return df.groupBy(key).applyInPandas(profile, schema=out_schema)

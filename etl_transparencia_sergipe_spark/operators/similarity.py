@@ -124,15 +124,19 @@ def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
     boundary vectors whose sign flipped on one hyperplane come back.
     """
     planes = hyperplanes(n_planes)
-    bucketed = corpus.selectExpr(
+    # mark query rows BEFORE renaming, so query_pred is any predicate over
+    # the corpus's own columns (no string surgery on column names)
+    marked = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
-        f"{srp_bucket_spark(vec_col, planes)} AS bucket")
-    # persist: both join sides derive from bucketed; materialize so the
+        f"{srp_bucket_spark(vec_col, planes)} AS bucket",
+        f"({query_pred}) AS is_query")
+    # persist: both join sides derive from this frame; materialize so the
     # n_planes dot products compute once per vector (see dedup.py)
     from pyspark.storagelevel import StorageLevel
 
-    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
-    q = bucketed.filter(f"neighbor_id {query_pred.split(id_col)[-1]}") \
+    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed = marked.select("neighbor_id", "cv", "bucket")
+    q = marked.filter("is_query") \
         .selectExpr("neighbor_id AS query_id", "cv AS qv", "bucket")
     if multiprobe:
         probes = ", ".join(
@@ -164,13 +168,14 @@ def lsh_topk_duck(table: str, k: int = 5, n_planes: int = 8,
         q_cte = f"""q AS (
             SELECT query_id, qv, unnest([{probes}]) AS bucket
             FROM (SELECT neighbor_id AS query_id, cv AS qv, bucket
-                  FROM b WHERE neighbor_id {query_pred.split(id_col)[-1]}))"""
+                  FROM b WHERE is_query))"""
     else:
         q_cte = f"""q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket
-               FROM b WHERE neighbor_id {query_pred.split(id_col)[-1]})"""
+               FROM b WHERE is_query)"""
     return f"""
     WITH b AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv,
-                      {srp_bucket_duck(vec_col, planes)} AS bucket
+                      {srp_bucket_duck(vec_col, planes)} AS bucket,
+                      ({query_pred}) AS is_query
                FROM {table}),
          {q_cte},
          scored AS (

@@ -80,11 +80,15 @@ def run_with_retry(spark: SparkSession, cidades: list[str], anos: list[int],
                    fetch_fn=synthetic_fetch, max_passes: int = 2) -> DataFrame:
     """D4 orchestration: fetch the grid, then re-run only failed keys."""
     grid = task_grid(spark, cidades, anos)
-    fetched = fetch_grid(grid, fetch_fn=fetch_fn)
+    # localCheckpoint: the fetch is nondeterministic (live I/O); without
+    # materialization, computing the retry queue and the final result
+    # would re-execute the fetch lineage, duplicating rows that failed
+    # during one evaluation but succeeded in the next (and vice versa)
+    fetched = fetch_grid(grid, fetch_fn=fetch_fn).localCheckpoint(eager=True)
     for _ in range(max_passes - 1):
         pending = retry_queue(fetched, grid)
         if not pending.take(1):
             break
         fetched = fetched.filter(F.col("fetch_error").isNull()).unionByName(
-            fetch_grid(pending, fetch_fn=fetch_fn))
+            fetch_grid(pending, fetch_fn=fetch_fn)).localCheckpoint(eager=True)
     return fetched

@@ -28,10 +28,14 @@ _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
 def _bucket_duck(sec: int, shift_sec: int = 0) -> str:
-    """DuckDB: epoch-aligned window start (minus shift) as a naive UTC ts."""
+    """DuckDB: epoch-aligned window start (minus shift) as a naive UTC ts.
+
+    Built with plain timestamp arithmetic from the epoch, NOT
+    ``to_timestamp`` (which yields TIMESTAMPTZ and would render in the
+    DuckDB session's TimeZone — correct only on UTC hosts)."""
     return (
-        f"CAST(to_timestamp(((epoch_us(ts) // {sec * 1_000_000}) * {sec})"
-        f" - {shift_sec}) AS TIMESTAMP)"
+        f"(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND * "
+        f"(((epoch_us(ts) // {sec * 1_000_000}) * {sec}) - {shift_sec}))"
     )
 
 

@@ -68,7 +68,14 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     to its own path (the badRecordsPath pattern) instead of re-parsing.
     """
     if CORRUPT_COL not in df.columns:
-        return df, df.limit(0)
+        # no corrupt-record column => nothing to quarantine; the empty
+        # frame still carries the quarantine schema so callers can union
+        # it with an existing quarantine table
+        empty = df.limit(0).select(
+            F.lit(None).cast("string").alias("raw_line"),
+            F.current_timestamp().alias("quarantined_at"),
+        )
+        return df, empty
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(

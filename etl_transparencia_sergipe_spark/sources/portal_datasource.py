@@ -99,8 +99,10 @@ class PortalStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.cidades = options.get("cidades", "aracaju").split(",")
         self.anos = [int(a) for a in options.get("anos", "2024").split(",")]
+        meses = [int(m) for m in options.get(
+            "meses", ",".join(map(str, range(1, 13)))).split(",")]
         self.months = [(a, m) for a in sorted(self.anos)
-                       for m in range(1, 13)]
+                       for m in sorted(meses)]
 
     def initialOffset(self) -> dict:
         return {"idx": 0}

@@ -47,9 +47,6 @@ def main() -> None:
             continue
         df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        formatted = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted") \
-            if hasattr(df._sc._jvm, "PythonSQLUtils") else None
         print(f"== {name}: " + "; ".join(audit(name, plan)))
         if only:
             df.explain("formatted")
