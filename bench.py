@@ -55,12 +55,22 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     # Warmup: one pass over every table (JVM/reader init + OS page cache —
-    # the DuckDB twin benches against the same warm file cache) plus the
-    # first query for codegen startup.
+    # the DuckDB twin benches against the same warm file cache), then every
+    # headline plan SHAPE once at sf0.001. The tiny-SF pass compiles each
+    # plan's generated code (Janino) and warms the JVM JIT without touching
+    # the timed SF's data or caches (different input paths -> different
+    # analyzed plans -> no CacheManager reuse), so the timed runs below
+    # measure execution, not one-time compilation — the same footing as the
+    # DuckDB oracle, whose query compilation is microseconds.
     from etl_transparencia_sergipe_spark.sources.catalog import TABLES, load_table
     for t in TABLES:
         load_table(spark, t, sf_dir).count()
-    qs[names[0]](spark, sf_dir).collect()
+    warm_dir = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            qs[name](spark, warm_dir).collect()
+        except Exception:
+            pass  # warmup is best-effort; the timed run will surface errors
 
     timings: dict[str, float] = {}
     for name in names:
