@@ -19,6 +19,13 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session id, table, dir) -> DataFrame. A DataFrame is an immutable logical
+# plan, so handing the same instance to every query is safe and skips the
+# per-call file listing + parquet footer/schema read (~100 ms per table —
+# material when a query touches 4 tables). Keyed by session so a stopped
+# session's plans are never reused.
+_READER_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one testdata table as a DataFrame (columnar parquet scan —
@@ -26,6 +33,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     d = sf_dir or DEFAULT_SF_DIR
+    key = (id(spark), name, d)
+    cached = _READER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, name, d)
+    _READER_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, name: str, d: str) -> DataFrame:
     path = os.path.join(d, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
