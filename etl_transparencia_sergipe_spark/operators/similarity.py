@@ -193,6 +193,113 @@ def lsh_topk_duck(table: str, k: int = 5, n_planes: int = 8,
     """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_pred: str = "vec_id < 8") -> DataFrame:
+    """Approximate top-k via an IVF index: partition the corpus into
+    ``n_cells`` Voronoi cells around coarse centroids, then search only the
+    ``nprobe`` cells nearest to each query.
+
+    Coarse centroids are the embeddings of the ``n_cells`` lowest ids — a
+    deterministic sample, so the whole index is reproducible in the DuckDB
+    oracle (a trained k-means quantizer drops in unchanged; see ml.py).
+
+    Scale shape: centroids broadcast to every executor; cell assignment is
+    a broadcast expansion (n x C rows, narrow) collapsed by partial-agg
+    ``min(struct(dist, cell))`` before the exchange, so the shuffle carries
+    n rows. The candidate join touches nprobe/n_cells of the corpus per
+    query instead of all of it.
+
+    Returns DataFrame[query_id, neighbor_id, rank, cos] (no self-pairs).
+    """
+    cent = (corpus.orderBy(id_col).limit(n_cells)
+            .selectExpr(f"{id_col} AS cell", f"{vec_col} AS cvec"))
+    base = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
+        f"({query_pred}) AS is_query")
+    scored = base.crossJoin(F.broadcast(cent)).selectExpr(
+        "neighbor_id", "cv", "is_query", "cell",
+        f"1.0D - ({cosine_expr_spark('cv', 'cvec')}) AS d")
+    # argmin via min(struct): (d, cell) is unique per row, so the min
+    # brings along its row's cv/is_query; partial aggregation collapses
+    # the C candidate rows per vector map-side.
+    assign = (
+        scored.groupBy("neighbor_id")
+        .agg(F.min(F.struct("d", "cell", "cv", "is_query")).alias("m"))
+        .selectExpr("neighbor_id", "m.cell AS cell", "m.cv AS cv",
+                    "m.is_query AS is_query")
+    )
+    qp = (base.filter("is_query")
+          .selectExpr("neighbor_id AS query_id", "cv AS qv")
+          .crossJoin(F.broadcast(cent))
+          .selectExpr("query_id", "qv", "cell",
+                      f"1.0D - ({cosine_expr_spark('qv', 'cvec')}) AS d"))
+    wq = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
+    probes = (qp.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe).select("query_id", "qv", "cell"))
+    # each vector lives in exactly one cell and probe cells are distinct,
+    # so candidate pairs are already unique — no dedup shuffle needed
+    cand = (assign.select("neighbor_id", "cv", "cell")
+            .join(F.broadcast(probes), "cell")
+            .filter("query_id != neighbor_id"))
+    out = cand.selectExpr("query_id", "neighbor_id",
+                          f"{cosine_expr_spark('qv', 'cv')} AS cos")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def ivf_topk_duck(table: str, k: int = 5, n_cells: int = 16,
+                  nprobe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  query_pred: str = "vec_id < 8") -> str:
+    """DuckDB oracle SQL equivalent of :func:`ivf_topk`."""
+    d_assign = f"1.0 - ({cosine_expr_duck('b.cv', 'ct.cvec')})"
+    d_probe = f"1.0 - ({cosine_expr_duck('q.cv', 'ct.cvec')})"
+    cos = cosine_expr_duck("p.qv", "a.cv")
+    return f"""
+    WITH cent AS (
+        SELECT {id_col} AS cell, {vec_col} AS cvec FROM {table}
+        ORDER BY {id_col} LIMIT {n_cells}
+    ), b AS (
+        SELECT {id_col} AS neighbor_id, {vec_col} AS cv,
+               ({query_pred}) AS is_query
+        FROM {table}
+    ), assign AS (
+        SELECT neighbor_id, cell, cv FROM (
+            SELECT b.neighbor_id, ct.cell, b.cv,
+                   ROW_NUMBER() OVER (PARTITION BY b.neighbor_id
+                                      ORDER BY {d_assign}, ct.cell) AS rn
+            FROM b CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.neighbor_id AS query_id, q.cv AS qv, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {d_probe}, ct.cell) AS rn
+            FROM b q CROSS JOIN cent ct WHERE q.is_query
+        ) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT p.query_id, a.neighbor_id, {cos} AS cos
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE p.query_id != a.neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_topk_duck(table: str, k: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      query_pred: str = "vec_id < 8") -> str:

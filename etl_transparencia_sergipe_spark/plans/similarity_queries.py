@@ -10,6 +10,8 @@ from etl_transparencia_sergipe_spark.operators.similarity import (
     cosine_expr_spark,
     cosine_topk,
     cosine_topk_duck,
+    ivf_topk,
+    ivf_topk_duck,
     lsh_topk,
     lsh_topk_duck,
 )
@@ -49,6 +51,19 @@ def q44_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     return lsh_topk(emb, k=5, n_planes=8, multiprobe=True)
+
+
+@register(
+    "q46_ivf_ann_topk",
+    oracle=ivf_topk_duck("embeddings", k=5, n_cells=16, nprobe=4),
+    doc="J6 IVF ANN: deterministic coarse centroids -> Voronoi cell "
+        "assignment (broadcast + partial-agg argmin) -> search only the "
+        "nprobe nearest cells per query (the centroid-partitioned scale "
+        "path) [EXT]",
+)
+def q46_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    return ivf_topk(emb, k=5, n_cells=16, nprobe=4)
 
 
 @register(

@@ -188,3 +188,64 @@ def q24_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(fp).alias("n_fingerprints"),
         F.min(fp).alias("min_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the composite training-data pipeline shape —
+# quality filter + near-dup removal + per-language token accounting. The
+# reference's analog is filter-then-consolidate (P4 royalty filter ->
+# file_utils.py:22-57 yearly merge); here the filter is a quality score and
+# the "overwrite" is keep-lowest-id near-dup dedup.
+# ---------------------------------------------------------------------------
+
+from etl_transparencia_sergipe_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_duck,
+)
+from etl_transparencia_sergipe_spark.operators.textstats import (  # noqa: E402
+    quality_score_duck,
+    quality_score_spark,
+)
+
+
+@register(
+    "q47_corpus_curation",
+    oracle=f"""
+    WITH pairs AS ({minhash_lsh_pairs_duck('documents', 'doc_id', 'text',
+                                           k=16, bands=4, threshold=0.4)}),
+    dupes AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    kept AS (
+        SELECT d.* FROM documents d
+        WHERE {quality_score_duck('d.text')} >= 0.7
+          AND d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({bpe_token_count_duck('text')}) AS BIGINT)
+               AS total_tokens,
+           {dsum_sql('n_chars', 0)} AS total_chars
+    FROM kept GROUP BY lang
+    """,
+    doc="corpus curation pipeline [EXT]: quality-score filter (>= 0.7) + "
+        "MinHash near-dup removal (drop the higher doc_id of every "
+        "verified pair — keep-first semantics) + per-language doc/token/"
+        "char accounting. Composite of P4-shape filtering, P10 dedup and "
+        "F16 text stats in ONE plan: the LSH anti-join prunes before the "
+        "final aggregate, so Catalyst pipelines filter->dedup->agg without "
+        "materializing the corpus.",
+)
+def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=16, bands=4, threshold=0.4)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = (
+        docs.filter(F.expr(quality_score_spark("text")) >= 0.7)
+        .join(dupes, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(bpe_token_count_spark("text"))).cast("bigint")
+        .alias("total_tokens"),
+        dsum("n_chars", 0).alias("total_chars"),
+    )

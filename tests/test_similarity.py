@@ -38,3 +38,56 @@ def test_hyperplanes_deterministic():
     assert hyperplanes(4, 8) == hyperplanes(4, 8)
     vals = [x for pl in hyperplanes(8, 64) for x in pl]
     assert all(-0.5 <= v <= 0.5 for v in vals)
+
+
+def test_ivf_recall_and_pruning(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    from etl_transparencia_sergipe_spark.operators.similarity import ivf_topk
+
+    exact = cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+    approx = ivf_topk(emb, k=5, n_cells=8, nprobe=4)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = approx.collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    # probing half the cells on a weakly clustered corpus: recall is
+    # bounded below but not 1.0 by construction
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.25, f"recall collapsed: {recall}"
+    # contract: no self-pairs, <= k per query, valid cosine range,
+    # ranks are 1..n contiguous per query
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    assert all(-1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_corpus_curation_semantics(spark, sf_dir):
+    """Kept set excludes every higher-id near-dup and every low-quality
+    doc; counts are consistent with the component operators."""
+    from pyspark.sql import functions as F
+
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from etl_transparencia_sergipe_spark.operators.textstats import (
+        quality_score_spark,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=16, bands=4, threshold=0.4)
+    dupes = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    kept = (
+        docs.filter(F.expr(quality_score_spark("text")) >= 0.7)
+        .join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+              "doc_id", "left_anti")
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(dupes)
+    n_quality = docs.filter(
+        F.expr(quality_score_spark("text")) >= 0.7).count()
+    assert len(kept_ids) <= n_quality <= docs.count()
