@@ -239,9 +239,13 @@ def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, "doc_id", "text",
                               k=16, bands=4, threshold=0.4)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # the dup-id list is ids-only and a small fraction of the corpus:
+    # broadcast turns the anti join into a map-side filter (no corpus
+    # shuffle); stats after the LSH pipeline are too opaque for Catalyst
+    # to pick this on its own
     kept = (
         docs.filter(F.expr(quality_score_spark("text")) >= 0.7)
-        .join(dupes, "doc_id", "left_anti")
+        .join(F.broadcast(dupes), "doc_id", "left_anti")
     )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

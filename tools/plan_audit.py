@@ -30,7 +30,12 @@ def audit(name: str, plan: str) -> list[str]:
         notes.append("joins=" + ",".join(joins))
     n_exchange = plan.count("Exchange")
     notes.append(f"exchanges={n_exchange}")
-    n_codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    # codegen span markers by plan-string flavor: "*(N)" operator prefixes
+    # (SparkPlan.toString), "[codegen id : N]" (explain formatted),
+    # "WholeStageCodegen (N)" (explain extended) — count distinct ids
+    n_codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+                    | set(re.findall(r"\[codegen id : (\d+)\]", plan))
+                    | set(re.findall(r"\*\((\d+)\)", plan)))
     notes.append(f"codegen_spans={n_codegen}")
     if "CartesianProduct" in plan:
         notes.append("!! cartesian product")
@@ -41,6 +46,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])
     spark = get_spark("plan-audit")
+    # audit the static plan: under AQE the pre-execution plan is an opaque
+    # AdaptiveSparkPlan wrapper with no WholeStageCodegen annotation, so
+    # codegen coverage (and the non-adaptive join choice) is only visible
+    # with AQE off. AQE stays ON everywhere else — this is a read-only
+    # audit session.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = entrymod.queries()
     for name, build in qs.items():
         if only and name not in only:
