@@ -314,17 +314,25 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         "doc_id", "fp", f"explode(array({band_structs})) AS band"
     ).select("doc_id", "fp", "band.band_id", "band.band_val")
     x, y = banded.alias("x"), banded.alias("y")
+    # Emit each pair exactly once: only at the FIRST band where the two
+    # fingerprints agree ("no earlier band matches" predicates). This
+    # replaces a dropDuplicates over the full candidate-pair stream —
+    # millions of rows on near-duplicate-heavy corpora — with a few bit
+    # ops inside the join, removing an entire shuffle.
+    first_band = F.expr(" AND ".join(
+        f"(x.band_id <= {b} OR (shiftright(x.fp, {8 * b}) % 256) != "
+        f"(shiftright(y.fp, {8 * b}) % 256))"
+        for b in range(3)
+    ))
     return (
         x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
                & (F.col("x.band_val") == F.col("y.band_val"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
+               & (F.col("x.doc_id") < F.col("y.doc_id"))
+               & first_band)
         .select(F.col("x.doc_id").alias("id_a"),
                 F.col("y.doc_id").alias("id_b"),
                 F.expr("bit_count(x.fp ^ y.fp)").alias("hamming"))
-        # hamming is pair-deterministic, so filtering before the
-        # dedup-shuffle is semantics-preserving and shrinks the exchange
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -347,10 +355,13 @@ def simhash_pairs_duck(table: str, id_col: str, text_col: str,
     ), banded AS (
         {band_selects}
     )
-    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
            bit_count(xor(x.fp, y.fp)) AS hamming
     FROM banded x JOIN banded y
       ON x.band_id = y.band_id AND x.band_val = y.band_val
      AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.fp, y.fp)) <= {max_hamming}
+      AND {" AND ".join(
+          f"(x.band_id <= {b} OR ((x.fp >> {8 * b}) & 255) != ((y.fp >> {8 * b}) & 255))"
+          for b in range(3))}
     """

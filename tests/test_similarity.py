@@ -91,3 +91,40 @@ def test_corpus_curation_semantics(spark, sf_dir):
     n_quality = docs.filter(
         F.expr(quality_score_spark("text")) >= 0.7).count()
     assert len(kept_ids) <= n_quality <= docs.count()
+
+
+def test_shingle_rows_matches_array_shingles(spark):
+    """The window-lead shingler (minhash hot path) must produce exactly
+    the distinct n-gram sets of the HOF array shingler (verify path +
+    DuckDB oracle) — candidate generation and verification disagree
+    otherwise. Exercises short docs, repeated n-grams, multi-space,
+    punctuation, accents, and pt-BR text."""
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        shingle_rows,
+        shingles_spark,
+    )
+
+    texts = [
+        "",
+        "um",
+        "dois tokens",
+        "tres tokens aqui",
+        "a b c d e f g",
+        "rep rep rep rep rep",
+        "  espacos   multiplos \t e tabs  ",
+        "Pontuação, vírgulas; e ACENTOS çãõé!",
+        "R$ 1.234,56 pago em 31/01/2024 fonte 15300000",
+        "x " * 40 + "y",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for n in (2, 3):
+        rows = shingle_rows(df, "doc_id", "text", n=n)
+        got = {(r.doc_id, r.s) for r in rows.collect()}
+        want = {
+            (r.doc_id, r.s)
+            for r in df.selectExpr(
+                "doc_id", f"explode({shingles_spark('text', n)}) AS s"
+            ).collect()
+        }
+        assert got == want, f"n={n}: {got ^ want}"
