@@ -19,12 +19,13 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (session id, table, dir) -> DataFrame. A DataFrame is an immutable logical
-# plan, so handing the same instance to every query is safe and skips the
-# per-call file listing + parquet footer/schema read (~100 ms per table —
-# material when a query touches 4 tables). Keyed by session so a stopped
-# session's plans are never reused.
-_READER_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application id, table, dir) -> DataFrame. A DataFrame is an immutable
+# logical plan, so handing the same instance to every query is safe and
+# skips the per-call file listing + parquet footer/schema read (~100 ms per
+# table — material when a query touches 4 tables). Keyed by applicationId
+# (unique per SparkContext) so a stopped session's plans are never reused —
+# id(spark) could be recycled by the allocator after GC.
+_READER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -33,7 +34,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     d = sf_dir or DEFAULT_SF_DIR
-    key = (id(spark), name, d)
+    key = (spark.sparkContext.applicationId, name, d)
     cached = _READER_CACHE.get(key)
     if cached is not None:
         return cached
