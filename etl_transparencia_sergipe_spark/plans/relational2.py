@@ -279,3 +279,31 @@ def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
     )
+
+
+@register(
+    "q48_grouping_sets",
+    oracle=f"""
+    SELECT year(o_orderdate) AS ano, o_orderpriority,
+           CAST(grouping(year(o_orderdate)) AS INT) AS g_ano,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           {dsum_sql('o_totalprice')} AS rev, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+    """,
+    doc="A9 GROUPING SETS: non-hierarchical grouping planes (per-year, "
+        "per-priority, grand total) in one pass — not expressible as "
+        "rollup/cube; grouping() markers disambiguate the NULL planes",
+)
+def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, "orders", sf_dir).createOrReplaceTempView("orders_q48")
+    return spark.sql("""
+        SELECT year(o_orderdate) AS ano, o_orderpriority,
+               CAST(grouping(year(o_orderdate)) AS INT) AS g_ano,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev,
+               COUNT(*) AS n
+        FROM orders_q48
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+    """)
