@@ -253,3 +253,124 @@ def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens"),
         dsum("n_chars", 0).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting, the
+# MOSS/Schleimer-Wilkerson-Aiken scheme): hash every word k-gram, slide a
+# window of w consecutive k-gram hashes, keep each window's minimum —
+# guarantees any shared run of >= w+k-1 tokens between two documents
+# shares a fingerprint, at ~1/w of the k-gram count stored.
+# ---------------------------------------------------------------------------
+
+from etl_transparencia_sergipe_spark.operators.hashing import (  # noqa: E402
+    h60_duck,
+    h60_spark,
+)
+
+_WINNOW_K = 3  # k-gram size
+_WINNOW_W = 4  # winnowing window (consecutive k-grams)
+
+
+@register(
+    "q49_winnowing_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               generate_subscripts(t.toks, 1) AS pos, unnest(t.toks) AS t
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents) t
+    ), gram AS (
+        SELECT doc_id, lang, pos,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                   AS g,
+               COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), gh AS (
+        SELECT doc_id, lang, pos, {h60_duck('g')} AS h,
+               cnt - {_WINNOW_K - 1} AS n_grams
+        FROM gram WHERE pos <= cnt - {_WINNOW_K - 1}
+    ), sel AS (
+        SELECT doc_id, lang,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS fp
+        FROM gh WHERE pos <= GREATEST(n_grams - {_WINNOW_W - 1}, 1)
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT (doc_id, fp)) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+           MIN(fp) AS min_fp
+    FROM sel GROUP BY lang
+    """,
+    doc="F16 rolling-hash winnowing fingerprints (Schleimer et al. local "
+        "algorithm): k=3 word-gram hashes, per-window minimum selection "
+        "(w=4) -> ~1/w sampled fingerprints with shared-substring "
+        "guarantee; per-language fingerprint accounting [EXT]",
+)
+def q49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.selectExpr(
+        "doc_id", "lang",
+        "posexplode(split(lower(trim(text)), '\\\\s+')) AS (pos0, t)",
+    ).selectExpr("doc_id", "lang", "pos0 + 1 AS pos", "t")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = (
+        tok.withColumn("g", F.expr(
+            "concat_ws(' ', t, lead(t, 1) OVER "
+            "(PARTITION BY doc_id ORDER BY pos), lead(t, 2) OVER "
+            "(PARTITION BY doc_id ORDER BY pos))"))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("doc_id")))
+        .filter(f"pos <= cnt - {_WINNOW_K - 1}")
+    )
+    gh = gram.selectExpr(
+        "doc_id", "lang", "pos",
+        f"{h60_spark('g')} AS h",
+        f"cnt - {_WINNOW_K - 1} AS n_grams",
+    )
+    sel = (
+        gh.filter(f"pos <= GREATEST(n_grams - {_WINNOW_W - 1}, 1)")
+        .withColumn("fp", F.min("h").over(
+            w.rowsBetween(W.currentRow, _WINNOW_W - 1)))
+    )
+    return sel.groupBy("lang").agg(
+        F.countDistinct("doc_id", "fp").cast("bigint")
+        .alias("n_fingerprints"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_fps"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+@register(
+    "q53_vocab_topk",
+    oracle="""
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents
+    )
+    GROUP BY t
+    ORDER BY freq DESC, token ASC
+    LIMIT 25
+    """,
+    doc="F16 corpus vocabulary: token frequency + document frequency, "
+        "top-25 — the vocab-building pass of a training-data pipeline; "
+        "partial-agg explode -> count, TakeOrderedAndProject top-k [EXT]",
+)
+def q53_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.selectExpr(
+        "doc_id", "explode(split(lower(trim(text)), '\\\\s+')) AS token")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"),
+             F.countDistinct("doc_id").cast("bigint").alias("doc_freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+    )
