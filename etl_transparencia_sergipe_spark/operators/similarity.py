@@ -218,14 +218,24 @@ def ivf_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
 
     Returns DataFrame[query_id, neighbor_id, rank, cos] (no self-pairs).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the (tiny) centroid frame: its TakeOrdered corpus scan
+    # otherwise re-executes for each of the two broadcast consumers below
     cent = (corpus.orderBy(id_col).limit(n_cells)
-            .selectExpr(f"{id_col} AS cell", f"{vec_col} AS cvec"))
+            .selectExpr(f"{id_col} AS cell", f"{vec_col} AS cvec")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     base = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
         f"({query_pred}) AS is_query")
     scored = base.crossJoin(F.broadcast(cent)).selectExpr(
         "neighbor_id", "cv", "is_query", "cell",
         f"1.0D - ({cosine_expr_spark('cv', 'cvec')}) AS d")
+    # persist: scored feeds both the cell assignment and the query probes
+    # (queries are corpus rows, so their centroid distances are already
+    # here — recomputing them via a second cross join would double the
+    # coarse-quantizer pass)
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     # argmin via min(struct): (d, cell) is unique per row, so the min
     # brings along its row's cv/is_query; partial aggregation collapses
     # the C candidate rows per vector map-side.
@@ -235,11 +245,8 @@ def ivf_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
         .selectExpr("neighbor_id", "m.cell AS cell", "m.cv AS cv",
                     "m.is_query AS is_query")
     )
-    qp = (base.filter("is_query")
-          .selectExpr("neighbor_id AS query_id", "cv AS qv")
-          .crossJoin(F.broadcast(cent))
-          .selectExpr("query_id", "qv", "cell",
-                      f"1.0D - ({cosine_expr_spark('qv', 'cvec')}) AS d"))
+    qp = scored.filter("is_query").selectExpr(
+        "neighbor_id AS query_id", "cv AS qv", "cell", "d")
     wq = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
     probes = (qp.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= nprobe).select("query_id", "qv", "cell"))

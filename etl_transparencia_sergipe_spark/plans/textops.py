@@ -227,8 +227,11 @@ from etl_transparencia_sergipe_spark.operators.textstats import (  # noqa: E402
     FROM kept GROUP BY lang
     """,
     doc="corpus curation pipeline [EXT]: quality-score filter (>= 0.7) + "
-        "MinHash near-dup removal (drop the higher doc_id of every "
-        "verified pair — keep-first semantics) + per-language doc/token/"
+        "MinHash near-dup removal (drop every doc that is the HIGHER id "
+        "of any verified pair — conservative: transitive chains A~B~C "
+        "drop both B and C even when A!~C, trading a little over-removal "
+        "for a single anti-join pass; exact greedy keep-first needs the "
+        "iterative connected-components of q38) + per-language doc/token/"
         "char accounting. Composite of P4-shape filtering, P10 dedup and "
         "F16 text stats in ONE plan: the LSH anti-join prunes before the "
         "final aggregate, so Catalyst pipelines filter->dedup->agg without "
@@ -239,13 +242,13 @@ def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, "doc_id", "text",
                               k=16, bands=4, threshold=0.4)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    # the dup-id list is ids-only and a small fraction of the corpus:
-    # broadcast turns the anti join into a map-side filter (no corpus
-    # shuffle); stats after the LSH pipeline are too opaque for Catalyst
-    # to pick this on its own
+    # no broadcast hint: the dup-id list is unbounded (dup-heavy corpora
+    # can put a large fraction of ids here), so forcing a broadcast risks
+    # the driver. AQE sizes the materialized side at runtime and converts
+    # the anti join to broadcast exactly when the list is actually small.
     kept = (
         docs.filter(F.expr(quality_score_spark("text")) >= 0.7)
-        .join(F.broadcast(dupes), "doc_id", "left_anti")
+        .join(dupes, "doc_id", "left_anti")
     )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -263,6 +266,10 @@ def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares a fingerprint, at ~1/w of the k-gram count stored.
 # ---------------------------------------------------------------------------
 
+from etl_transparencia_sergipe_spark.operators.dedup import (  # noqa: E402
+    tokens_duck,
+    tokens_spark,
+)
 from etl_transparencia_sergipe_spark.operators.hashing import (  # noqa: E402
     h60_duck,
     h60_spark,
@@ -278,8 +285,7 @@ _WINNOW_W = 4  # winnowing window (consecutive k-grams)
     WITH tok AS (
         SELECT doc_id, lang,
                generate_subscripts(t.toks, 1) AS pos, unnest(t.toks) AS t
-        FROM (SELECT doc_id, lang,
-                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM (SELECT doc_id, lang, {tokens_duck('text')} AS toks
               FROM documents) t
     ), gram AS (
         SELECT doc_id, lang, pos,
@@ -292,12 +298,18 @@ _WINNOW_W = 4  # winnowing window (consecutive k-grams)
         SELECT doc_id, lang, pos, {h60_duck('g')} AS h,
                cnt - {_WINNOW_K - 1} AS n_grams
         FROM gram WHERE pos <= cnt - {_WINNOW_K - 1}
-    ), sel AS (
-        SELECT doc_id, lang,
+    ), winmin AS (
+        -- window minima over ALL k-gram hashes; restrict to window-START
+        -- positions only afterwards, so trailing windows still see their
+        -- full w hashes (filtering first would truncate them)
+        SELECT doc_id, lang, pos, n_grams,
                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS BETWEEN CURRENT ROW
                             AND {_WINNOW_W - 1} FOLLOWING) AS fp
-        FROM gh WHERE pos <= GREATEST(n_grams - {_WINNOW_W - 1}, 1)
+        FROM gh
+    ), sel AS (
+        SELECT doc_id, lang, fp FROM winmin
+        WHERE pos <= GREATEST(n_grams - {_WINNOW_W - 1}, 1)
     )
     SELECT lang,
            CAST(COUNT(DISTINCT (doc_id, fp)) AS BIGINT) AS n_fingerprints,
@@ -316,7 +328,7 @@ def q49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     tok = docs.selectExpr(
         "doc_id", "lang",
-        "posexplode(split(lower(trim(text)), '\\\\s+')) AS (pos0, t)",
+        f"posexplode({tokens_spark('text')}) AS (pos0, t)",
     ).selectExpr("doc_id", "lang", "pos0 + 1 AS pos", "t")
     w = W.partitionBy("doc_id").orderBy("pos")
     gram = (
@@ -332,10 +344,13 @@ def q49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{h60_spark('g')} AS h",
         f"cnt - {_WINNOW_K - 1} AS n_grams",
     )
+    # window minima over ALL hashes first, THEN keep window-start rows —
+    # filtering first would drop the last w-1 hashes from trailing
+    # windows and break the shared-substring guarantee
     sel = (
-        gh.filter(f"pos <= GREATEST(n_grams - {_WINNOW_W - 1}, 1)")
-        .withColumn("fp", F.min("h").over(
+        gh.withColumn("fp", F.min("h").over(
             w.rowsBetween(W.currentRow, _WINNOW_W - 1)))
+        .filter(f"pos <= GREATEST(n_grams - {_WINNOW_W - 1}, 1)")
     )
     return sel.groupBy("lang").agg(
         F.countDistinct("doc_id", "fp").cast("bigint")
@@ -347,12 +362,11 @@ def q49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q53_vocab_topk",
-    oracle="""
+    oracle=f"""
     SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
     FROM (
-        SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        SELECT doc_id, unnest({tokens_duck('text')}) AS t
         FROM documents
     )
     GROUP BY t
@@ -366,7 +380,7 @@ def q49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     tok = docs.selectExpr(
-        "doc_id", "explode(split(lower(trim(text)), '\\\\s+')) AS token")
+        "doc_id", f"explode({tokens_spark('text')}) AS token")
     return (
         tok.groupBy("token")
         .agg(F.count("*").cast("bigint").alias("freq"),

@@ -19,13 +19,14 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (application id, table, dir) -> DataFrame. A DataFrame is an immutable
-# logical plan, so handing the same instance to every query is safe and
-# skips the per-call file listing + parquet footer/schema read (~100 ms per
-# table — material when a query touches 4 tables). Keyed by applicationId
-# (unique per SparkContext) so a stopped session's plans are never reused —
-# id(spark) could be recycled by the allocator after GC.
-_READER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (application id, table, dir, file mtime) -> DataFrame. A DataFrame is an
+# immutable logical plan, so handing the same instance to every query is
+# safe and skips the per-call file listing + parquet footer/schema read
+# (~100 ms per table — material when a query touches 4 tables). Keyed by
+# applicationId (unique per SparkContext; id(spark) could be recycled by
+# the allocator after GC) and the file's mtime, so a regenerated table is
+# re-listed instead of served a stale InMemoryFileIndex.
+_READER_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -34,7 +35,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     d = sf_dir or DEFAULT_SF_DIR
-    key = (spark.sparkContext.applicationId, name, d)
+    path = os.path.join(d, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0  # missing file: let the reader raise its own error
+    key = (spark.sparkContext.applicationId, name, d, mtime)
     cached = _READER_CACHE.get(key)
     if cached is not None:
         return cached

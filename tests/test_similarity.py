@@ -128,3 +128,46 @@ def test_shingle_rows_matches_array_shingles(spark):
             ).collect()
         }
         assert got == want, f"n={n}: {got ^ want}"
+
+
+def test_winnowing_shared_substring_guarantee(spark, sf_dir):
+    """Schleimer et al. guarantee: two docs sharing a run of >= w+k-1
+    tokens share at least one fingerprint — including runs at the very
+    END of a document (regression: trailing windows must see all their
+    hashes, not just the filtered window-start rows)."""
+    from etl_transparencia_sergipe_spark.plans.textops import (
+        q49_winnowing_fingerprints,
+    )
+    import etl_transparencia_sergipe_spark.plans.textops as T
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # reuse the registered query's internals by rebuilding sel inline:
+    # doc 1 ends with the 6-token run that doc 2 consists of entirely
+    shared = "p q r s t u"
+    df = spark.createDataFrame(
+        [(1, "x y z " + shared), (2, shared)], "doc_id long, text string")
+    tok = df.selectExpr(
+        "doc_id", f"posexplode({T.tokens_spark('text')}) AS (pos0, t)"
+    ).selectExpr("doc_id", "pos0 + 1 AS pos", "t")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = (
+        tok.withColumn("g", F.expr(
+            "concat_ws(' ', t, lead(t, 1) OVER "
+            "(PARTITION BY doc_id ORDER BY pos), lead(t, 2) OVER "
+            "(PARTITION BY doc_id ORDER BY pos))"))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("doc_id")))
+        .filter(f"pos <= cnt - {T._WINNOW_K - 1}")
+    )
+    gh = gram.selectExpr(
+        "doc_id", "pos", f"{T.h60_spark('g')} AS h",
+        f"cnt - {T._WINNOW_K - 1} AS n_grams")
+    sel = (
+        gh.withColumn("fp", F.min("h").over(
+            w.rowsBetween(W.currentRow, T._WINNOW_W - 1)))
+        .filter(f"pos <= GREATEST(n_grams - {T._WINNOW_W - 1}, 1)")
+    )
+    fps = {}
+    for r in sel.select("doc_id", "fp").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], f"no shared fingerprint: {fps}"
