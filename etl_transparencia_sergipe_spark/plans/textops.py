@@ -388,3 +388,38 @@ def q53_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(25)
     )
+
+
+@register(
+    "q54_hash_split_stratified",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {h60_duck("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {h60_duck("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {dsum_sql('n_chars', 0)} AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="deterministic train/val/test corpus split (80/10/10) by hashing "
+        "the stable doc_id — reproducible across runs/engines, unlike "
+        "seed-based sampling; per-(lang, split) accounting verifies "
+        "stratification [EXT]. At scale this is a pure map-side "
+        "projection: no shuffle beyond the final agg.",
+)
+def q54_hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    bucket = f"{h60_spark('CAST(doc_id AS STRING)')} % 100"
+    return (
+        docs.selectExpr(
+            "lang",
+            f"CASE WHEN {bucket} < 80 THEN 'train' "
+            f"WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split",
+            "n_chars",
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             dsum("n_chars", 0).alias("total_chars"))
+    )
