@@ -307,3 +307,48 @@ def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_q48
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
     """)
+
+
+@register(
+    "q56_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+           CAST(SUM(CASE WHEN l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers
+    FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="data-quality outlier detection: per-group IQR fences "
+        "(Tukey 1.5x) over prices — exact quantile_cont/percentile parity "
+        "was established by q19, so the fence comparisons are "
+        "deterministic cross-engine [EXT]. The fence table is tiny and "
+        "broadcast back against the fact scan.",
+)
+def q56_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr(
+                "CASE WHEN l_extendedprice > q3 + 1.5 * (q3 - q1) "
+                "THEN 1 ELSE 0 END")).cast("bigint").alias("n_high_outliers"),
+            F.sum(F.expr(
+                "CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1) "
+                "THEN 1 ELSE 0 END")).cast("bigint").alias("n_low_outliers"),
+        )
+    )

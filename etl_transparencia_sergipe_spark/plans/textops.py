@@ -423,3 +423,43 @@ def q54_hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              dsum("n_chars", 0).alias("total_chars"))
     )
+
+
+# Spark string literals eat one level of backslashes; DuckDB keeps them.
+_CPF_SPARK = r"\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}"
+_CPF_DUCK = r"\d{3}\.\d{3}\.\d{3}-\d{2}"
+_EMAIL_SPARK = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_EMAIL_DUCK = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+@register(
+    "q55_pii_scan",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_CPF_DUCK}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_cpf,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_EMAIL_DUCK}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(len(regexp_extract_all(text, '{_CPF_DUCK}')))
+                AS BIGINT) AS total_cpf_hits
+    FROM documents GROUP BY source
+    """,
+    doc="PII pattern scan (curation/redaction precheck): CPF-formatted ids "
+        "and emails per source — the reference corpus carries formatted "
+        "cpf_cnpj values (OSR_aracaju_barra__pirambu.ipynb cell-32 "
+        "output), so leak detection is a first-class op [EXT]. Pure "
+        "map-side regexp_count inside codegen.",
+)
+def q55_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"CASE WHEN text RLIKE '{_CPF_SPARK}' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("docs_with_cpf"),
+        F.sum(F.expr(
+            f"CASE WHEN text RLIKE '{_EMAIL_SPARK}' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("docs_with_email"),
+        F.sum(F.expr(f"regexp_count(text, '{_CPF_SPARK}')"))
+        .cast("bigint").alias("total_cpf_hits"),
+    )
