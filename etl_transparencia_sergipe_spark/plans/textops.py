@@ -463,3 +463,56 @@ def q55_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"regexp_count(text, '{_CPF_SPARK}')"))
         .cast("bigint").alias("total_cpf_hits"),
     )
+
+
+_CHUNK = 2048  # context-window token budget
+
+
+@register(
+    "q57_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {TOKEN_COUNT_SQL.format(c='text')} AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX((cum + {_CHUNK} - 1) // {_CHUNK}) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN (cum - n_tok) // {_CHUNK} != (cum - 1) // {_CHUNK}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundary_docs
+    FROM c GROUP BY lang
+    """,
+    doc="sequence-packing accounting (concat-and-chunk pretraining shape): "
+        "docs concatenated in doc_id order per language, chunked into "
+        "2048-token context windows via running-sum windows — reports "
+        "chunk count and how many docs straddle a chunk boundary. All "
+        "integer arithmetic, so bit-exact cross-engine [EXT]. Scale note: "
+        "a global per-language running sum serializes each language into "
+        "one window task; at 100 TB packing runs per shard instead "
+        "(partition by (lang, shard) = hash(doc_id) div N), which this "
+        "query's shape extends to directly.",
+)
+def q57_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "lang", token_count("text").alias("n_tok"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return c.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.max(F.expr(f"(cum + {_CHUNK} - 1) div {_CHUNK}")).cast("bigint")
+        .alias("n_chunks"),
+        F.sum(F.expr(
+            f"CASE WHEN (cum - n_tok) div {_CHUNK} != (cum - 1) div {_CHUNK} "
+            "THEN 1 ELSE 0 END")).cast("bigint").alias("n_boundary_docs"),
+    )
