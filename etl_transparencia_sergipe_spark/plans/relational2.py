@@ -207,37 +207,52 @@ def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q36_upsert_merge",
-    oracle=f"""
-    WITH delta AS (
+    oracle="""
+    WITH base AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               o_totalprice * 1.1 AS o_totalprice
+               CAST(o_totalprice AS DECIMAL(18,3)) AS o_totalprice
+        FROM orders
+    ), delta AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3))
+               AS o_totalprice
         FROM orders WHERE o_orderkey % 7 = 0
     ), merged AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders o
+        FROM base o
         WHERE NOT EXISTS (SELECT 1 FROM delta d
                           WHERE d.o_orderkey = o.o_orderkey)
         UNION ALL
         SELECT * FROM delta
     )
     SELECT o_orderstatus, COUNT(*) AS n,
-           {dsum_sql('o_totalprice')} AS total
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
     FROM merged GROUP BY o_orderstatus
     """,
     doc="MERGE INTO emulation (anti-join + union upsert) — row-level "
         "generalization of the reference's idempotent month overwrite "
-        "(file_utils.py:57) [EXT]",
+        "(file_utils.py:57) [EXT]. Delta arithmetic is exact DECIMAL on "
+        "both engines: DECIMAL(18,2) * DECIMAL(3,1) is an exact 3-decimal "
+        "product, summed in decimal, surfaced as DOUBLE at the end — never "
+        "round a double carrying 3 decimal digits to DECIMAL(18,2) (Spark "
+        "rounds the shortest-repr string, DuckDB the binary value; they "
+        "disagree on half-points).",
 )
 def q36_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_transparencia_sergipe_spark.operators.upsert import upsert
 
     o = load(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,3)").alias("o_totalprice"))
     delta = o.filter("o_orderkey % 7 = 0").withColumn(
-        "o_totalprice", F.col("o_totalprice") * 1.1)
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)")
+         * F.lit(1.1).cast("decimal(3,1)")).cast("decimal(18,3)"))
     merged = upsert(o, delta, ["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").cast("double").alias("total"))
 
 
 @register(

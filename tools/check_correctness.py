@@ -41,7 +41,11 @@ def canonical(df: pd.DataFrame) -> tuple[int, list[str], str]:
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
-            return f"{v:.6g}"
+            # Full-precision shortest round-trip repr (17 sig figs when
+            # needed) — 6-sig-fig rendering masked exactly the class of
+            # cross-engine rounding divergence the driver's hash catches
+            # (q36, round 1).
+            return repr(v)
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
         return str(v)
