@@ -7,6 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_transparencia_sergipe_spark.operators.hashing import (
+    MERSENNE,
+    h60_duck,
+    h60_spark,
+)
 from etl_transparencia_sergipe_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_lsh_pairs_duck,
@@ -129,18 +134,30 @@ def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, n_chars // 100 AS len_band,
                {shingles_duck('text', 3)} AS sh
         FROM documents
+    ), keyed AS (
+        SELECT *, list_min(list_transform(sh,
+                   s -> {h60_duck('s')} % {MERSENNE})) AS mh0
+        FROM sh
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.len_band = b.len_band
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.len_band = b.len_band AND a.mh0 = b.mh0
      AND a.doc_id < b.doc_id
     ORDER BY jaccard DESC, id_a ASC, id_b ASC
     LIMIT 20
     """,
-    doc="P10 blocked n-gram Jaccard near-dup: (lang, length-band) blocking "
-        "keys + exact 3-gram Jaccard, top-20 [EXT]",
+    doc="P10 blocked n-gram Jaccard near-dup: (lang, length-band, "
+        "min-shingle-hash) blocking keys + exact 3-gram Jaccard, top-20 "
+        "[EXT]. The third key is a 1-permutation MinHash: a pair collides "
+        "with probability equal to its Jaccard, so high-similarity pairs "
+        "(the ones a top-k-by-jaccard query surfaces) are retained while a "
+        "popular (lang, band) block of N docs fans out into ~N_distinct "
+        "min-shingle sub-blocks — this bounds the quadratic exact-verify "
+        "blowup a skewed block would otherwise cause at 100 TB. Recall "
+        "dial: union more permutations (mh1, mh2, ...) exactly as LSH "
+        "adds bands.",
 )
 def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
@@ -150,11 +167,15 @@ def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         "n_chars div 100 AS len_band",
         f"{shingles_spark('text', 3)} AS sh",
+    ).withColumn(
+        "mh0",
+        F.expr(f"array_min(transform(sh, s -> {h60_spark('s')} % {MERSENNE}))"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.len_band") == F.col("b.len_band"))
+               & (F.col("a.mh0") == F.col("b.mh0"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -164,4 +185,51 @@ def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
+    )
+
+
+@register(
+    "q35_levenshtein_neardup",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+      AND a.p_name <> b.p_name
+    ORDER BY dist ASC, id_a ASC, id_b ASC
+    LIMIT 25
+    """,
+    doc="F16 edit-distance near-match: levenshtein(p_name) <= 4 within "
+        "(brand, size) blocks, top-25 by distance — the fuzzy creditor-"
+        "name matching tier the reference's normalizar+contains filter "
+        "approximates by hand (main.py:57-58, normalizar substring "
+        "match). Blocked self-join keeps the quadratic verify inside "
+        "small dimension blocks; distance is integer so the hash is "
+        "bit-exact cross-engine [F16].",
+)
+def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+               & (F.col("a.p_size") == F.col("b.p_size"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint"))
+        .filter((F.col("dist") <= 4)
+                & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist")
+        .orderBy(F.asc("dist"), F.asc("id_a"), F.asc("id_b"))
+        .limit(25)
     )

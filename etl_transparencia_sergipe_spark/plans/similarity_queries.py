@@ -118,3 +118,31 @@ def q42_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") > 0.4)
     )
+
+
+@register(
+    "q63_ivf_trained_topk",
+    oracle=None,  # k-means training isn't SQL-expressible — rows-only
+    doc="J6 IVF ANN with a TRAINED coarse quantizer: MLlib KMeans "
+        "(k=16, seed=42; reference k-means precedent "
+        "data_science.ipynb:99) learns balanced Voronoi centroids, then "
+        "the exact same broadcast cell-search plan as the oracle-checked "
+        "q46 runs over them. Sorted + aggregated output keeps the "
+        "rows-only check schema-stable across runs [EXT]",
+)
+def q63_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivf_topk_trained,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    out = ivf_topk_trained(emb, k=5, n_cells=16, nprobe=4, seed=42)
+    # aggregate per query: neighbor sets can shift at cell boundaries with
+    # kmeans numeric noise, but per-query counts and rank coverage are
+    # stable — the shape a rows-only gate can hold onto
+    return (
+        out.groupBy("query_id")
+        .agg(F.count("*").alias("n_neighbors"),
+             F.max("rank").alias("max_rank"))
+        .orderBy("query_id")
+    )

@@ -258,6 +258,68 @@ def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q39_curation_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {minhash_lsh_pairs_duck('documents', 'doc_id', 'text',
+                                k=16, bands=4, threshold=0.4)}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS m FROM edges
+        UNION
+        SELECT src AS node, dst AS m FROM edges
+        UNION
+        SELECT r.node, e.dst AS m
+        FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM cc WHERE node != component),
+    kept AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {dsum_sql(TOKEN_COUNT_SQL.format(c='text'), 0)} AS total_tokens,
+           {dsum_sql('n_chars', 0)} AS total_chars
+    FROM kept GROUP BY lang
+    """,
+    doc="EXACT keep-first curation [EXT]: near-dup pairs -> connected "
+        "components (operators/components.py, iterative min-label + path "
+        "halving) -> keep only each cluster's canonical doc (min doc_id), "
+        "then per-language accounting. The greedy-exact complement of "
+        "q47's conservative pair-drop (which over-removes on transitive "
+        "chains A~B~C); oracle is the recursive-CTE transitive closure. "
+        "Reference anchor: keep-one-per-key overwrite semantics, "
+        "file_utils.py:57.",
+)
+def q39_curation_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=16, bands=4, threshold=0.4)
+    drops = (
+        connected_components(pairs)
+        .filter("node != component")
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        dsum(token_count("text"), 0).alias("total_tokens"),
+        dsum("n_chars", 0).alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling-hash document fingerprinting, the
 # MOSS/Schleimer-Wilkerson-Aiken scheme): hash every word k-gram, slide a
@@ -491,22 +553,45 @@ _CHUNK = 2048  # context-window token budget
     """,
     doc="sequence-packing accounting (concat-and-chunk pretraining shape): "
         "docs concatenated in doc_id order per language, chunked into "
-        "2048-token context windows via running-sum windows — reports "
-        "chunk count and how many docs straddle a chunk boundary. All "
-        "integer arithmetic, so bit-exact cross-engine [EXT]. Scale note: "
-        "a global per-language running sum serializes each language into "
-        "one window task; at 100 TB packing runs per shard instead "
-        "(partition by (lang, shard) = hash(doc_id) div N), which this "
-        "query's shape extends to directly.",
+        "2048-token context windows — reports chunk count and how many "
+        "docs straddle a chunk boundary. All integer arithmetic, so "
+        "bit-exact cross-engine [EXT]. SCALE SHAPE: the running sum is "
+        "computed two-pass over contiguous doc_id shards — per-(lang, "
+        "shard) local running sums in parallel window tasks, then a tiny "
+        "per-shard-total frame yields carry-in prefix offsets that are "
+        "broadcast-joined back (cum = local_cum + offset). Identical "
+        "result to the global window (same oracle), but each language "
+        "spreads across many tasks instead of serializing into one — the "
+        "plan a 1000-executor packing job needs. Shard width is a knob: "
+        "size it so n_docs/width offset rows stay broadcastable (e.g. 1e6 "
+        "docs/shard at corpus scale; 256 here so tiny test data still "
+        "exercises >1 shard per language). Order anchor: the "
+        "reference consolidates files in sorted-name order "
+        "(file_utils.py:22-57); doc_id order is the same contract.",
 )
 def q57_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    shard_w = 256  # contiguous doc_id range per shard (order-preserving)
     docs = load(spark, "documents", sf_dir)
-    t = docs.select("doc_id", "lang", token_count("text").alias("n_tok"))
-    w = (W.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    t = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tok"),
+        (F.col("doc_id") / shard_w).cast("long").alias("shard"))
+    # pass 1: local running sum inside each (lang, shard) — parallel
+    w_local = (W.partitionBy("lang", "shard").orderBy("doc_id")
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = t.withColumn("lcum", F.sum("n_tok").over(w_local))
+    # pass 2: carry-in offsets = sum of earlier shards' totals (tiny frame:
+    # n_langs x n_shards rows), broadcast back
+    totals = t.groupBy("lang", "shard").agg(F.sum("n_tok").alias("stok"))
+    w_off = (W.partitionBy("lang").orderBy("shard")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("stok").over(w_off), F.lit(0)))
+    c = local.join(
+        F.broadcast(offsets.select("lang", "shard", "offset")),
+        ["lang", "shard"],
+    ).withColumn("cum", F.col("lcum") + F.col("offset"))
     return c.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
@@ -515,4 +600,52 @@ def q57_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(
             f"CASE WHEN (cum - n_tok) div {_CHUNK} != (cum - 1) div {_CHUNK} "
             "THEN 1 ELSE 0 END")).cast("bigint").alias("n_boundary_docs"),
+    )
+
+
+_SENT_SPARK = r"[.!?]+\\s*"   # Spark SQL literal: \\s survives as \s
+_SENT_DUCK = r"[.!?]+\s*"
+
+
+@register(
+    "q59_sentence_stats",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(text, '{_SENT_DUCK}'),
+                               x -> length(trim(x)) > 0)) AS n_sent,
+               {TOKEN_COUNT_SQL.format(c='text')} AS n_tok
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / SUM(n_sent) AS avg_sent_tokens
+    FROM s GROUP BY lang
+    """,
+    doc="F16 sentence segmentation stats: deterministic regex sentence "
+        "splitting ([.!?]+ boundaries, blank segments dropped) with "
+        "per-language sentence counts and mean tokens-per-sentence. The "
+        "cross-engine-reproducible twin of Spark's locale-dependent "
+        "sentences() BreakIterator (which has no DuckDB oracle); the "
+        "ratio divides exact integer sums, so it is bit-identical. All "
+        "map-side expression work [EXT F16].",
+)
+def q59_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    s = (
+        docs.withColumn(
+            "n_sent",
+            F.expr(f"size(filter(split(text, '{_SENT_SPARK}'), "
+                   "x -> length(trim(x)) > 0))"))
+        .withColumn("n_tok", token_count("text"))
+        .select("lang", "n_sent", "n_tok")
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_sent").cast("bigint").alias("total_sentences"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.sum("n_sent"))
+        .alias("avg_sent_tokens"),
     )
