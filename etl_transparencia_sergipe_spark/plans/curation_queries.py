@@ -1,0 +1,191 @@
+"""Corpus-curation queries beyond dedup ([EXT] training-data pipeline
+surface): benchmark decontamination, domain-mixture reweighting, and
+repetition-based quality signals. All pure DataFrame/codegen expression
+work with full DuckDB oracles.
+
+Reference anchor: the reference curates by hand-picked substring filters
+(main.py:57-58) and per-source file consolidation (file_utils.py:22-57);
+these queries are the corpus-scale generalizations a pretraining pipeline
+runs over the same shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.dedup import (
+    shingle_rows,
+    shingles_duck,
+)
+from etl_transparencia_sergipe_spark.plans._helpers import load
+from etl_transparencia_sergipe_spark.plans.registry import register
+
+# pseudo-benchmark membership: a stable id predicate stands in for "doc is
+# in an eval set" (real pipelines join against the benchmark corpus)
+_BENCH_PRED_SPARK = "doc_id % 97 = 0"
+_BENCH_PRED_DUCK = "doc_id % 97 = 0"
+_DECON_N = 4  # n-gram size; real decontamination uses 8-13-gram windows
+
+
+@register(
+    "q64_decontamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({shingles_duck('text', _DECON_N)}) AS s
+        FROM documents WHERE {_BENCH_PRED_DUCK}
+    ), corp AS (
+        SELECT doc_id, unnest({shingles_duck('text', _DECON_N)}) AS s
+        FROM documents WHERE NOT ({_BENCH_PRED_DUCK})
+    ), hits AS (
+        SELECT doc_id, COUNT(DISTINCT s) AS n_shared
+        FROM corp JOIN bench USING (s) GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(h.n_shared) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(SUM(h.n_shared), 0) AS BIGINT) AS total_shared_grams
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE NOT ({_BENCH_PRED_DUCK})
+    GROUP BY d.source
+    """,
+    doc="benchmark decontamination scan [EXT]: flag training docs sharing "
+        f"any {_DECON_N}-gram with the (pseudo-)benchmark set, per-source "
+        "accounting. Scale shape: the benchmark's distinct n-grams are a "
+        "SMALL broadcast set (eval suites are tiny next to the corpus), "
+        "so the overlap test is a map-side broadcast semi-join on the "
+        "exploded corpus gram stream — no corpus self-shuffle. Real "
+        "pipelines use 8-13-gram windows; 4 here so the synthetic corpus "
+        "yields hits.",
+)
+def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    bench_g = (
+        shingle_rows(docs.filter(_BENCH_PRED_SPARK), "doc_id", "text",
+                     _DECON_N)
+        .select("s").distinct()
+    )
+    corp = docs.filter(f"NOT ({_BENCH_PRED_SPARK})")
+    corp_g = shingle_rows(corp, "doc_id", "text", _DECON_N)
+    hits = (
+        corp_g.join(F.broadcast(bench_g), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+    return (
+        corp.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("n_shared").cast("bigint").alias("n_contaminated"),
+            F.coalesce(F.sum("n_shared"), F.lit(0)).cast("bigint")
+            .alias("total_shared_grams"),
+        )
+    )
+
+
+@register(
+    "q65_domain_mixture",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS natural_share,
+           1.0 / COUNT(*) OVER () AS target_share,
+           CAST(SUM(tokens) OVER () AS DOUBLE)
+               / (COUNT(*) OVER () * tokens) AS sampling_rate
+    FROM s
+    """,
+    doc="domain-mixture reweighting [EXT]: per-source token mass, natural "
+        "vs uniform target share, and the per-source sampling rate that "
+        "hits the target (rate = total/(n_sources*tokens)). All ratios "
+        "divide exact integer sums, so bit-identical cross-engine. At "
+        "scale this is one partial-agg pass plus a window over the tiny "
+        "per-source frame; the rates then drive a map-side hash-sample "
+        "filter exactly like q54's split buckets.",
+)
+def q65_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_transparencia_sergipe_spark.plans.textops import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("tokens"),
+    )
+    w = W.partitionBy()
+    return s.select(
+        "source", "n_docs", "tokens",
+        (F.col("tokens").cast("double") / F.sum("tokens").over(w))
+        .alias("natural_share"),
+        (F.lit(1.0) / F.count("*").over(w)).alias("target_share"),
+        (F.sum("tokens").over(w).cast("double")
+         / (F.count("*").over(w) * F.col("tokens")))
+        .alias("sampling_rate"),
+    )
+
+
+@register(
+    "q66_repetition_ratio",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS ntok,
+               len({shingles_duck('text', 2)}) AS dist
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               CASE WHEN ntok < 2 THEN 1 ELSE ntok - 1 END AS tot, dist
+        FROM per_doc
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.tot) AS BIGINT) AS total_bigrams,
+           CAST(SUM(c.dist) AS BIGINT) AS distinct_bigrams,
+           1.0 - CAST(SUM(c.dist) AS DOUBLE) / SUM(c.tot) AS rep_ratio,
+           CAST(SUM(CASE WHEN 10 * c.dist < 7 * c.tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_rep
+    FROM documents d JOIN counted c USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="repetition-ratio quality signal [EXT] (Gopher-style duplicate "
+        "n-gram fraction): per-doc token-bigram total vs distinct counts, "
+        "rolled up per source with a corpus repetition ratio and a count "
+        "of high-repetition docs (>30% duplicate bigrams — tested as the "
+        "all-integer inequality 10*distinct < 7*total, so no double "
+        "compares cross-engine). Per-doc counts come off the exploded "
+        "gram stream with map-side partial aggregation.",
+)
+def q66_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.plans.textops import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    counted = (
+        shingle_rows(docs, "doc_id", "text", 2)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tot"), F.countDistinct("s").alias("dist"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(counted, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tot").cast("bigint").alias("total_bigrams"),
+            F.sum("dist").cast("bigint").alias("distinct_bigrams"),
+            (F.lit(1.0) - F.sum("dist").cast("double") / F.sum("tot"))
+            .alias("rep_ratio"),
+            F.sum(F.when(10 * F.col("dist") < 7 * F.col("tot"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_high_rep"),
+        )
+    )

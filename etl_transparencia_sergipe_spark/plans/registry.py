@@ -103,6 +103,7 @@ def _ensure_loaded() -> None:
         similarity_queries,
         streaming_queries,
         ml_queries,
+        curation_queries,
     )
 
     missing = [n for n in HEADLINE_50 if n not in REGISTRY]

@@ -80,3 +80,48 @@ def test_asof_join_matches_pandas_reference(spark):
     # (inclusive); k=3 -> no right rows
     assert got == {(1, 10): 100.0, (1, 20): 200.0, (1, 5): None,
                    (2, 7): 300.0, (3, 9): None}
+
+
+def test_asof_join_bucketed_matches_default(spark):
+    """Small reference case: ts-bucketed two-pass plan == default plan,
+    including carry-in across empty buckets."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (1, 250, "f"),
+         (2, 7, "d"), (3, 9, "e")],
+        "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 7, 300.0), (4, 1, 400.0)],
+        "k int, rts int, val double")
+    base = asof_join(left, right, "k", "ts", "rts", ["val"])
+    # width 10 puts ts=250 three empty buckets past the last right row —
+    # the carry-in must skip over them
+    bucketed = asof_join(left, right, "k", "ts", "rts", ["val"],
+                         ts_bucket="_ts div 10")
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, bucketed.collect()))
+
+
+def test_asof_join_hot_key_bucketed(spark):
+    """One key owns ALL rows (the skew case the default plan serializes).
+    The bucketed plan must (a) agree with the default plan exactly and
+    (b) split the hot key's window work across >1 task."""
+    n = 5000
+    left = spark.range(n).selectExpr(
+        "1 AS k", "CAST(id AS INT) AS ts", "CAST(id AS STRING) AS tag")
+    right = spark.range(0, n, 50).selectExpr(
+        "1 AS k", "CAST(id AS INT) AS rts", "CAST(id AS DOUBLE) AS val")
+    base = asof_join(left, right, "k", "ts", "rts", ["val"])
+    bucketed = asof_join(left, right, "k", "ts", "rts", ["val"],
+                         ts_bucket="_ts div 500")
+    b = {(r.k, r.ts): r.val for r in base.collect()}
+    s = {(r.k, r.ts): r.val for r in bucketed.collect()}
+    assert b == s
+    # every ts matches floor(ts/50)*50 — spot-check the semantics too
+    assert s[(1, 4999)] == 4950.0 and s[(1, 0)] == 0.0
+    # plan check: the big in-bucket window must partition by (_k, _b) —
+    # that is what fans the hot key out across the 10 bucket groups
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_k" in ws and "_b" in ws for ws in win_specs), win_specs

@@ -1,0 +1,73 @@
+"""Paired same-session bench — one command, both engines, one verdict.
+
+Round-1 lesson: Spark and DuckDB totals recorded hours apart drifted
+enough (the oracle's MinHash query alone swings 8.0-11.5 s run-to-run)
+that the 2x pass criterion became ambiguous. This script runs bench.py
+(Spark) and tools/bench_oracle.py (DuckDB) back-to-back against the same
+sf dir and file-cache state, then prints ONE combined JSON line with both
+totals and per-query ratios, plus a ready-to-paste markdown table for
+BASELINE.md.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/bench_paired.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def run_bench(script: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / script)],
+        capture_output=True, text=True, env=os.environ, cwd=ROOT,
+    )
+    lines = [ln for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"{script} produced no JSON line:\n{proc.stdout}\n{proc.stderr}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    spark = run_bench("bench.py")
+    duck = run_bench("tools/bench_oracle.py")
+
+    ratios = {}
+    for name, s in spark["queries"].items():
+        d = duck["queries"].get(name)
+        ratios[name] = round(s / d, 2) if d else None
+    combined = {
+        "metric": "paired_bench",
+        "sf": spark["sf"],
+        "spark_total_sec": spark["value"],
+        "duckdb_total_sec": duck["value"],
+        "ratio": round(spark["value"] / duck["value"], 3),
+        "pass_2x": spark["value"] <= 2 * duck["value"],
+        "spark_queries": spark["queries"],
+        "duckdb_queries": duck["queries"],
+        "ratios": ratios,
+    }
+    print(json.dumps(combined))
+
+    # markdown table for BASELINE.md
+    print(f"\n| query | spark s | duckdb s | ratio |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for name, s in spark["queries"].items():
+        d = duck["queries"].get(name)
+        r = f"{s / d:.2f}x" if d else "(no oracle)"
+        ds = f"{d:.3f}" if d else "-"
+        print(f"| {name} | {s:.3f} | {ds} | {r} |", file=sys.stderr)
+    print(f"| **total** | **{spark['value']:.2f}** | "
+          f"**{duck['value']:.2f}** | "
+          f"**{spark['value'] / duck['value']:.2f}x** |", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
