@@ -132,3 +132,89 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("feat_mean"), 4).alias("avg_feat"),
         F.max("feat_dim").alias("max_dim"),
     )
+
+
+@register(
+    "q67_corr_series",
+    oracle="""
+    WITH series AS (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) * 100 + month(o.o_orderdate) AS mk,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT a.nation AS nation_a, b.nation AS nation_b,
+               COUNT(*) AS n,
+               CAST(SUM(a.rev) AS DOUBLE) AS sx,
+               CAST(SUM(b.rev) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(a.rev * b.rev AS DECIMAL(38,4))) AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(a.rev * a.rev AS DECIMAL(38,4))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(b.rev * b.rev AS DECIMAL(38,4))) AS DOUBLE)
+                   AS syy
+        FROM series a JOIN series b
+          ON a.mk = b.mk AND a.nation < b.nation
+        GROUP BY 1, 2
+    )
+    SELECT nation_a, nation_b, CAST(n AS BIGINT) AS n_months,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS corr_r
+    FROM p
+    """,
+    doc="A5 transposed-frame correlation (data_science.ipynb:157-169 "
+        "second corr demo): correlation BETWEEN series — each nation's "
+        "monthly revenue curve against every other's over their common "
+        "months. Pearson r from EXACT decimal sums (sum/sum-of-products "
+        "in DECIMAL(38,4), one double expression at the end, rounded "
+        "6dp) so the hash is engine-stable; the series frame is tiny "
+        "(nations x months), so the pair self-join is a broadcast at "
+        "any corpus scale.",
+)
+def q67_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    series = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .alias("mk"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    a, b = series.alias("a"), series.alias("b")
+    p = (
+        a.join(b, (F.col("a.mk") == F.col("b.mk"))
+               & (F.col("a.nation") < F.col("b.nation")))
+        .groupBy(F.col("a.nation").alias("nation_a"),
+                 F.col("b.nation").alias("nation_b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a.rev").cast("double").alias("sx"),
+            F.sum("b.rev").cast("double").alias("sy"),
+            F.sum((F.col("a.rev") * F.col("b.rev")).cast("decimal(38,4)"))
+            .cast("double").alias("sxy"),
+            F.sum((F.col("a.rev") * F.col("a.rev")).cast("decimal(38,4)"))
+            .cast("double").alias("sxx"),
+            F.sum((F.col("b.rev") * F.col("b.rev")).cast("decimal(38,4)"))
+            .cast("double").alias("syy"),
+        )
+    )
+    denom = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    corr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(denom), 6)
+    return p.select(
+        "nation_a", "nation_b", F.col("n").cast("bigint").alias("n_months"),
+        F.when(denom <= 0, F.lit(None).cast("double"))
+        .otherwise(corr).alias("corr_r"),
+    )
