@@ -99,3 +99,20 @@ def test_normalize_colname():
     # NFKD decomposes 'º' to 'o' — matches the observed column name 'no_doc'
     # (OSR_aracaju_barra__pirambu.ipynb cell-32 output)
     assert normalize_colname("Nº Doc") == "no_doc"
+
+
+def test_sentences_builtin_vs_regex_twin(spark):
+    """F16 sentence segmentation: Spark's locale-aware sentences() and the
+    oracle-able regex twin (q59) agree on plain punctuated prose — the
+    regex variant exists because BreakIterator has no DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("One sentence. Two sentences! Three now? Yes.",),
+         ("no terminal punctuation at all",)], ["text"])
+    out = df.select(
+        F.size(F.sentences("text")).alias("n_builtin"),
+        F.expr(r"size(filter(split(text, '[.!?]+\\s*'), "
+               "x -> length(trim(x)) > 0))").alias("n_regex"),
+    ).collect()
+    assert [(r.n_builtin, r.n_regex) for r in out] == [(4, 4), (1, 1)]
