@@ -18,6 +18,7 @@ from etl_transparencia_sergipe_spark.operators.dedup import (
     shingle_rows,
     shingles_duck,
 )
+from etl_transparencia_sergipe_spark.operators.hashing import h60_duck
 from etl_transparencia_sergipe_spark.plans._helpers import load
 from etl_transparencia_sergipe_spark.plans.registry import register
 
@@ -188,4 +189,68 @@ def q66_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(10 * F.col("dist") < 7 * F.col("tot"), 1)
                   .otherwise(0)).cast("bigint").alias("n_high_rep"),
         )
+    )
+
+
+@register(
+    "q68_mixture_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source,
+               CAST(SUM(tokens) OVER () AS DOUBLE)
+                   / (COUNT(*) OVER () * tokens) AS rate
+        FROM s
+    ), sampled AS (
+        SELECT d.source, d.doc_id,
+               CASE WHEN length(trim(d.text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(d.text), '\\s+'))
+               END AS n_tok
+        FROM documents d JOIN rates r USING (source)
+        WHERE ({h60_duck("CAST(d.doc_id AS VARCHAR)")} % 1000000)
+              < CAST(LEAST(r.rate, 1.0) * 1000000 AS BIGINT)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_tok) AS BIGINT) AS sampled_tokens
+    FROM sampled GROUP BY source
+    """,
+    doc="deterministic mixture sampling [EXT]: materialize q65's "
+        "per-source sampling rates as a hash-bucket filter (keep doc iff "
+        "h(doc_id) mod 1e6 < rate*1e6) and account the achieved sample — "
+        "the reproducible-across-engines/runs subsample that seed-based "
+        "sampling can't give. The rate threshold is computed from exact "
+        "integer sums identically on both engines, so even the double "
+        "comparison is bit-stable. Map-side filter + small broadcast of "
+        "the per-source rate frame at any scale.",
+)
+def q68_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_transparencia_sergipe_spark.operators.hashing import h60_spark
+    from etl_transparencia_sergipe_spark.plans.textops import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tokens"))
+    w = W.partitionBy()
+    rates = s.select(
+        "source",
+        (F.sum("tokens").over(w).cast("double")
+         / (F.count("*").over(w) * F.col("tokens"))).alias("rate"))
+    bucket = F.expr(f"{h60_spark('CAST(doc_id AS STRING)')} % 1000000")
+    sampled = (
+        docs.withColumn("n_tok", token_count("text"))
+        .join(F.broadcast(rates), "source")
+        .filter(bucket < (F.least(F.col("rate"), F.lit(1.0)) * 1000000)
+                .cast("bigint"))
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("n_tok").cast("bigint").alias("sampled_tokens"),
     )
