@@ -197,6 +197,7 @@ def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_size = b.p_size
      AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 4
     WHERE levenshtein(a.p_name, b.p_name) <= 4
       AND a.p_name <> b.p_name
     ORDER BY dist ASC, id_a ASC, id_b ASC
@@ -217,7 +218,14 @@ def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
                & (F.col("a.p_size") == F.col("b.p_size"))
-               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+               # length-difference prune: |len(a)-len(b)| <= d is a
+               # NECESSARY condition for levenshtein <= d, so this drops
+               # most in-block pairs before the O(len^2) distance compute
+               # without changing results — the dial that keeps the
+               # blocked self-join viable when blocks grow at scale
+               & (F.abs(F.length(F.col("a.p_name"))
+                        - F.length(F.col("b.p_name"))) <= 4))
         .withColumn(
             "dist",
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
