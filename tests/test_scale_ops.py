@@ -125,3 +125,26 @@ def test_asof_join_hot_key_bucketed(spark):
 
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_k" in ws and "_b" in ws for ws in win_specs), win_specs
+
+
+def test_asof_join_bucketed_randomized(spark):
+    """Randomized (seeded) equivalence: default vs bucketed as-of plans on
+    clustered keys, duplicate timestamps on the left, sparse right sides,
+    and keys with no right rows at all."""
+    import random
+
+    rng = random.Random(42)
+    left = [(rng.randint(1, 6), rng.randint(0, 1000), i)
+            for i in range(400)]
+    # right rows unique per (key, ts) — the operator's documented contract
+    right = list({(k, ts): (k, ts, float(i)) for i, (k, ts) in enumerate(
+        (rng.randint(1, 4), rng.randint(0, 1000)) for _ in range(120)
+    )}.values())
+    ldf = spark.createDataFrame(left, "k int, ts int, row_id int")
+    rdf = spark.createDataFrame(right, "k int, rts int, val double")
+    base = asof_join(ldf, rdf, "k", "ts", "rts", ["val"])
+    for width in (7, 100, 5000):  # incl. one bucket >> ts range
+        bucketed = asof_join(ldf, rdf, "k", "ts", "rts", ["val"],
+                             ts_bucket=f"_ts div {width}")
+        assert sorted(map(tuple, base.collect())) == \
+            sorted(map(tuple, bucketed.collect())), width
