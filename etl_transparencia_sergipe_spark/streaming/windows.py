@@ -57,3 +57,32 @@ def session_stats(events: DataFrame, gap: str = "5 minutes",
             "n_events", "total_value",
         )
     )
+
+
+def click_purchase_join(events, horizon: str = "30 minutes",
+                        watermark: str | None = None):
+    """Stream-stream interval join (§2.10): attribute each purchase to the
+    same user's click(s) within the preceding ``horizon``.
+
+    With ``watermark`` set (streaming side), both inputs are watermarked
+    and the time-range condition bounds join state on BOTH sides — Spark
+    evicts click state older than watermark + horizon and purchase state
+    older than watermark, so state stays proportional to the horizon, not
+    the stream history. The identical function builds the batch twin
+    (watermark=None), and batch ≡ stream is the test oracle.
+    """
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    buys = events.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("purchase_id"), "value")
+    if watermark is not None:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        buys = buys.withWatermark("b_ts", watermark)
+    joined = clicks.join(buys, F.expr(
+        f"c_user = b_user AND b_ts >= c_ts "
+        f"AND b_ts <= c_ts + INTERVAL {horizon}"))
+    return joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        "c_ts", "b_ts", "value")

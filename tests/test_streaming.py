@@ -102,3 +102,24 @@ def test_foreach_batch_partitioned_sink(spark, sf_dir):
         assert n_parts > 1
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """§2.10 stream-stream join: watermarked interval join of the click
+    stream to the purchase stream matches the identical batch join."""
+    from etl_transparencia_sergipe_spark.streaming.windows import (
+        click_purchase_join,
+    )
+
+    batch = click_purchase_join(load_table(spark, "events", sf_dir))
+    stream = click_purchase_join(
+        events_stream(spark, sf_dir, max_files_per_trigger=1),
+        watermark="10 minutes")
+    q = run_to_memory(stream, "t_ssj", output_mode="append")
+    try:
+        cols = ["user_id", "click_id", "purchase_id", "c_ts", "b_ts"]
+        got = _collect_sorted(spark.sql("SELECT * FROM t_ssj"), cols)
+        want = _collect_sorted(batch, cols)
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
