@@ -153,3 +153,47 @@ def q63_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_5"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "q69_embedding_dim_stats",
+    oracle="""
+    WITH d AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS vmin,
+           MAX(v) AS vmax,
+           CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000.0) AS vmean_q6,
+           (MAX(v) - MIN(v)) / 255.0 AS int8_scale
+    FROM d GROUP BY dim
+    """,
+    doc="per-dimension embedding stats + int8 scalar-quantization scales "
+        "[EXT]: posexplode the vector column, partial-agg min/max and a "
+        "1e-6-quantized mean per dimension, plus the (max-min)/255 scale "
+        "an int8 compression pass ships with the quantized vectors. The "
+        "mean sums floor(v*1e6) as BIGINT — floor of an identical double "
+        "is bit-deterministic cross-engine (unlike rounding a double to "
+        "a decimal scale, which hits Spark's shortest-repr vs DuckDB's "
+        "binary rounding at half-points — this query found one such case "
+        "at DECIMAL(28,12)). Map-side combine collapses the corpus x dim "
+        "explosion to n_dims rows before the shuffle — same shape at "
+        "100 TB.",
+)
+def q69_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    d = emb.selectExpr(
+        "posexplode(embedding) AS (dim, v0)"
+    ).selectExpr("dim", "CAST(v0 AS DOUBLE) AS v")
+    return d.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        (F.sum(F.floor(F.col("v") * 1000000).cast("bigint")).cast("double")
+         / (F.count("*") * F.lit(1000000.0))).alias("vmean_q6"),
+        ((F.max("v") - F.min("v")) / F.lit(255.0)).alias("int8_scale"),
+    )
