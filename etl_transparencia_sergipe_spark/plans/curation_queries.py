@@ -254,3 +254,83 @@ def q68_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sampled"),
         F.sum("n_tok").cast("bigint").alias("sampled_tokens"),
     )
+
+
+@register(
+    "q72_boilerplate_rules",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS t
+        FROM documents
+    ), f AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+    ), m AS (
+        SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot FROM f GROUP BY doc_id
+    ), flags AS (
+        SELECT d.source,
+               CASE WHEN (CASE WHEN length(trim(d.text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(d.text), '\s+'))
+                          END) < 15 THEN 1 ELSE 0 END AS too_short,
+               CASE WHEN COALESCE(m.maxc, 0) * 5 > COALESCE(m.tot, 1)
+                    THEN 1 ELSE 0 END AS dominant_token,
+               CASE WHEN len(regexp_extract_all(d.text, '[0-9]')) * 10
+                         > d.n_chars THEN 1 ELSE 0 END AS numeric_heavy
+        FROM documents d LEFT JOIN m USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(too_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(dominant_token) AS BIGINT) AS n_dominant_token,
+           CAST(SUM(numeric_heavy) AS BIGINT) AS n_numeric_heavy,
+           CAST(SUM(CASE WHEN too_short + dominant_token + numeric_heavy
+                         = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flags GROUP BY source
+    """,
+    doc="C4-style boilerplate rule filter [EXT]: per-source accounting of "
+        "rule violations — too-short docs (<15 tokens), dominant-token "
+        "docs (one token > 20% of the stream, the 'lorem lorem lorem' "
+        "signal), digit-heavy docs (>10% digit chars) — and the kept "
+        "count after applying all rules. The dominant-token rule is the "
+        "only non-map-side piece: explode -> per-(doc, token) partial-agg "
+        "counts -> per-doc max/sum, the same corpus-proportional shuffle "
+        "as vocab building (q53). All thresholds are integer-scaled "
+        "comparisons, so the hash is bit-exact cross-engine. Reference "
+        "anchor: the hand-picked substring exclusion filter main.py:57.",
+)
+def q72_boilerplate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.plans.textops import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.selectExpr(
+        "doc_id", "explode(split(lower(trim(text)), '\\\\s+')) AS t")
+    m = (
+        tok.groupBy("doc_id", "t").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("maxc"), F.sum("count").alias("tot"))
+    )
+    flags = (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            token_count("text").alias("ntok"),
+            F.expr("regexp_count(text, '[0-9]')").alias("digits"))
+        .join(m, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("ntok") < 15, 1).otherwise(0).alias("too_short"),
+            F.when(F.coalesce("maxc", F.lit(0)) * 5
+                   > F.coalesce("tot", F.lit(1)), 1)
+            .otherwise(0).alias("dominant_token"),
+            F.when(F.col("digits") * 10 > F.col("n_chars"), 1)
+            .otherwise(0).alias("numeric_heavy"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("too_short").cast("bigint").alias("n_too_short"),
+        F.sum("dominant_token").cast("bigint").alias("n_dominant_token"),
+        F.sum("numeric_heavy").cast("bigint").alias("n_numeric_heavy"),
+        F.sum(F.when(F.col("too_short") + F.col("dominant_token")
+                     + F.col("numeric_heavy") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+    )
