@@ -569,10 +569,12 @@ _CHUNK = 2048  # context-window token budget
         "reference consolidates files in sorted-name order "
         "(file_utils.py:22-57); doc_id order is the same contract.",
 )
-def q57_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_pack_chunks(spark: SparkSession, sf_dir: str,
+                    shard_w: int = 256) -> DataFrame:
+    """``shard_w`` = contiguous doc_id range per shard (order-preserving);
+    results are invariant to it by construction (tested)."""
     from pyspark.sql import Window as W
 
-    shard_w = 256  # contiguous doc_id range per shard (order-preserving)
     docs = load(spark, "documents", sf_dir)
     t = docs.select(
         "doc_id", "lang", token_count("text").alias("n_tok"),

@@ -148,3 +148,17 @@ def test_asof_join_bucketed_randomized(spark):
                              ts_bucket=f"_ts div {width}")
         assert sorted(map(tuple, base.collect())) == \
             sorted(map(tuple, bucketed.collect())), width
+
+
+def test_pack_chunks_shard_width_invariance(spark, sf_dir):
+    """q57's two-pass sharded running sum must produce identical packing
+    accounting for ANY shard width — including width 1 (every doc its own
+    shard, pure carry-in) and a width larger than the id range (single
+    shard, equivalent to the round-1 global window)."""
+    from etl_transparencia_sergipe_spark.plans.textops import q57_pack_chunks
+
+    ref = sorted(map(tuple, q57_pack_chunks(spark, sf_dir).collect()))
+    for w in (1, 17, 10_000_000):
+        got = sorted(map(tuple,
+                         q57_pack_chunks(spark, sf_dir, shard_w=w).collect()))
+        assert got == ref, w
