@@ -12,14 +12,29 @@ automatically:
   agg on (key, salt), final agg on key. AQE's skew handling covers joins;
   hot-key aggregation still benefits from explicit salting.
 - ``salted_join``: explicit salt-and-replicate for skewed join keys when
-  AQE's split threshold isn't enough (the left/hot side gets a random-ish
+  AQE's split threshold isn't enough (the left/hot side gets a
   deterministic salt; the small side is replicated salt_n times).
+
+Salt determinism matters: a salt derived from
+``monotonically_increasing_id()`` (or ``rand()``) changes on task
+re-execution, so a stage retry re-buckets mapper output that reducers
+already fetched — rows double-count or vanish. The salt here is
+``pmod(xxhash64(<all row columns>), salt_n)``: a pure function of row
+content, identical across retries. Identical duplicate rows share a
+bucket, which keeps the spread content-adaptive while staying
+retry-safe.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _row_salt(df: DataFrame, salt_n: int):
+    """Deterministic per-row salt in [0, salt_n): pure function of the row
+    content, so task retries reproduce the exact same bucket assignment."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_n))
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,
@@ -40,7 +55,7 @@ def salted_agg(df: DataFrame, key: str, agg_col: str,
     but the first shuffle spreads each hot key over ``salt_n`` reducers.
     Sums ride exact decimals so the two-phase result is bit-identical.
     """
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n))
+    salt = _row_salt(df, salt_n)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
@@ -60,7 +75,6 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     the right side ``salt_n`` times, join on (key, salt)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("_salt")
     right_rep = right.select("*", salts)
-    left_salted = left.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n)))
+    left_salted = left.withColumn("_salt", _row_salt(left, salt_n))
     out = left_salted.join(right_rep, [key, "_salt"])
     return out.drop("_salt")

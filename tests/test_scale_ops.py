@@ -63,6 +63,28 @@ def test_salted_join_matches_direct(spark, sf_dir):
     assert s == d
 
 
+def test_salt_is_deterministic_across_layouts(spark, sf_dir):
+    """Retry-safety contract: the salt must be a pure function of row
+    content — the same row gets the same bucket no matter which task
+    computes it or how the input is physically partitioned (a stage retry
+    is exactly a re-evaluation under a different task layout)."""
+    from etl_transparencia_sergipe_spark.operators.scale import _row_salt
+
+    li = (load_table(spark, "lineitem", sf_dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity").limit(2000))
+
+    def salted_rows(df):
+        return sorted(map(tuple,
+                          df.withColumn("_salt", _row_salt(df, 16)).collect()))
+
+    a = salted_rows(li)
+    b = salted_rows(li.repartition(7))       # different physical layout
+    c = salted_rows(li.coalesce(1))          # single-task evaluation
+    assert a == b == c
+    # and the salt actually spreads rows (not a constant)
+    assert len({row[-1] for row in a}) > 1
+
+
 def test_asof_join_matches_pandas_reference(spark):
     import pandas as pd
 
