@@ -82,22 +82,29 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.last(c, ignorenulls=True).over(w_in).alias(c)
           for c in right_cols],
     )
-    # per-(key, bucket) last right-row values; struct max orders by _ts
-    # first, so it picks the latest right row in the bucket
+    # per-(key, bucket) latest NON-NULL value PER COLUMN — not one latest
+    # right row: the default plan fills each column independently with
+    # last(ignorenulls), so a NULL field in the latest preceding right row
+    # falls back to an earlier row for that column only. struct max orders
+    # by _ts first, so the max over (ts, value) pairs with non-null value
+    # is exactly "latest non-null value of this column in the bucket".
     summary = combined.groupBy("_k", "_b").agg(
-        F.max(F.when(F.col("_is_left") == 0,
-                     F.struct("_ts", *right_cols))).alias("_lr"))
-    # carry-in = last non-null summary over STRICTLY EARLIER buckets; the
-    # summary frame is tiny relative to the data, so this per-key window
-    # is cheap even for the hot key
+        *[F.max(F.when((F.col("_is_left") == 0) & F.col(c).isNotNull(),
+                       F.struct(F.col("_ts"), F.col(c).alias("v"))))
+          .getField("v").alias(c)
+          for c in right_cols])
+    # carry-in = last non-null per-column value over STRICTLY EARLIER
+    # buckets; the summary frame is tiny relative to the data, so this
+    # per-key window is cheap even for the hot key
     w_carry = (W.partitionBy("_k").orderBy("_b")
                .rowsBetween(W.unboundedPreceding, -1))
     carry = summary.select(
         "_k", "_b",
-        F.last("_lr", ignorenulls=True).over(w_carry).alias("_carry"))
+        *[F.last(c, ignorenulls=True).over(w_carry).alias(f"_carry_{c}")
+          for c in right_cols])
     out = infill.join(carry, ["_k", "_b"], "left").select(
         "_is_left", "_row",
-        *[F.coalesce(F.col(c), F.col("_carry").getField(c)).alias(c)
+        *[F.coalesce(F.col(c), F.col(f"_carry_{c}")).alias(c)
           for c in right_cols],
     )
     return out.filter("_is_left = 1").select("_row.*", *right_cols)

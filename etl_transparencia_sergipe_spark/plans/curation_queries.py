@@ -213,7 +213,7 @@ def q66_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS n_tok
         FROM documents d JOIN rates r USING (source)
         WHERE ({h60_duck("CAST(d.doc_id AS VARCHAR)")} % 1000000)
-              < CAST(LEAST(r.rate, 1.0) * 1000000 AS BIGINT)
+              < CAST(FLOOR(LEAST(r.rate, 1.0) * 1000000) AS BIGINT)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_sampled,
@@ -224,10 +224,13 @@ def q66_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-source sampling rates as a hash-bucket filter (keep doc iff "
         "h(doc_id) mod 1e6 < rate*1e6) and account the achieved sample — "
         "the reproducible-across-engines/runs subsample that seed-based "
-        "sampling can't give. The rate threshold is computed from exact "
-        "integer sums identically on both engines, so even the double "
-        "comparison is bit-stable. Map-side filter + small broadcast of "
-        "the per-source rate frame at any scale.",
+        "sampling can't give. The rate*1e6 threshold goes through an "
+        "explicit floor() before the BIGINT cast on BOTH engines — a bare "
+        "double->BIGINT cast truncates on Spark but rounds-to-nearest on "
+        "DuckDB, so frac>=0.5 thresholds would diverge by one bucket. "
+        "floor of an identical double is bit-deterministic. Map-side "
+        "filter + small broadcast of the per-source rate frame at any "
+        "scale.",
 )
 def q68_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -247,7 +250,7 @@ def q68_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = (
         docs.withColumn("n_tok", token_count("text"))
         .join(F.broadcast(rates), "source")
-        .filter(bucket < (F.least(F.col("rate"), F.lit(1.0)) * 1000000)
+        .filter(bucket < F.floor(F.least(F.col("rate"), F.lit(1.0)) * 1000000)
                 .cast("bigint"))
     )
     return sampled.groupBy("source").agg(

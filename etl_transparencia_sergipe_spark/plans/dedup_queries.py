@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_transparencia_sergipe_spark.operators.hashing import (
+    HASH_A,
+    HASH_B,
     MERSENNE,
     h60_duck,
     h60_spark,
@@ -127,61 +129,120 @@ def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+_Q33_PERMS = 3
+
+
+def _q33_mh_duck(i: int) -> str:
+    return (f"list_min(list_transform(sh, s -> ({HASH_A[i]} * "
+            f"({h60_duck('s')} % {MERSENNE}) + {HASH_B[i]}) % {MERSENNE}))")
+
+
 @register(
     "q33_ngram_jaccard_topk",
     oracle=f"""
-    WITH sh AS (
+    WITH base AS (
         SELECT doc_id, lang, n_chars // 100 AS len_band,
                {shingles_duck('text', 3)} AS sh
         FROM documents
     ), keyed AS (
-        SELECT *, list_min(list_transform(sh,
-                   s -> {h60_duck('s')} % {MERSENNE})) AS mh0
-        FROM sh
+        SELECT *,
+               {", ".join(f"{_q33_mh_duck(i)} AS mh{i}"
+                          for i in range(_Q33_PERMS))}
+        FROM base
+    ), banded AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, lang, len_band, mh0, mh1, mh2, "
+            f"{i} AS perm_id, mh{i} AS mh FROM keyed"
+            for i in range(_Q33_PERMS))}
+    ), cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.lang = y.lang AND x.len_band = y.len_band
+         AND x.perm_id = y.perm_id AND x.mh = y.mh
+         AND x.doc_id < y.doc_id
+         AND {" AND ".join(f"(x.perm_id <= {j} OR x.mh{j} != y.mh{j})"
+                           for j in range(_Q33_PERMS - 1))}
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT id_a, id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM keyed a JOIN keyed b
-      ON a.lang = b.lang AND a.len_band = b.len_band AND a.mh0 = b.mh0
-     AND a.doc_id < b.doc_id
+    FROM cand
+    JOIN keyed a ON a.doc_id = id_a
+    JOIN keyed b ON b.doc_id = id_b
     ORDER BY jaccard DESC, id_a ASC, id_b ASC
     LIMIT 20
     """,
     doc="P10 blocked n-gram Jaccard near-dup: (lang, length-band, "
         "min-shingle-hash) blocking keys + exact 3-gram Jaccard, top-20 "
-        "[EXT]. The third key is a 1-permutation MinHash: a pair collides "
-        "with probability equal to its Jaccard, so high-similarity pairs "
-        "(the ones a top-k-by-jaccard query surfaces) are retained while a "
-        "popular (lang, band) block of N docs fans out into ~N_distinct "
-        "min-shingle sub-blocks — this bounds the quadratic exact-verify "
-        "blowup a skewed block would otherwise cause at 100 TB. Recall "
-        "dial: union more permutations (mh1, mh2, ...) exactly as LSH "
-        "adds bands.",
+        "[EXT]. The sub-key is a UNION of 3 one-permutation MinHashes "
+        "(mh0/mh1/mh2): a pair with Jaccard j is retained with probability "
+        "1-(1-j)^3 (0.999 at j=0.9 vs 0.9 for one permutation), while a "
+        "popular (lang, band) block of N docs still fans out into "
+        "~N_distinct min-shingle sub-blocks per permutation — bounding the "
+        "quadratic exact-verify blowup a skewed block would cause at "
+        "100 TB. Each pair is emitted at its FIRST matching permutation "
+        "(\"no earlier perm agrees\" join predicates), so no dedup shuffle "
+        "over the candidate stream. Blocking keys come from the exploded "
+        "token stream (codegen md5 + 3 min-aggregates; shuffle = n_docs x "
+        "3 ints), and the interpreted shingle-array build runs only on "
+        "verify candidates — no full-corpus higher-order lambdas remain.",
 )
 def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
+    from etl_transparencia_sergipe_spark.operators.dedup import shingle_rows
+
     docs = load(spark, "documents", sf_dir)
-    sh = docs.selectExpr(
-        "doc_id", "lang",
-        "n_chars div 100 AS len_band",
-        f"{shingles_spark('text', 3)} AS sh",
-    ).withColumn(
-        "mh0",
-        F.expr(f"array_min(transform(sh, s -> {h60_spark('s')} % {MERSENNE}))"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
-    a, b = sh.alias("a"), sh.alias("b")
+    # blocking sub-keys from the exploded token stream — same codegen
+    # min-agg shape as minhash_lsh_pairs (no interpreted array folds)
+    tok = shingle_rows(docs, "doc_id", "text", 3).selectExpr(
+        "doc_id", f"{h60_spark('s')} % {MERSENNE} AS h")
+    keys = tok.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE}"))
+        .alias(f"mh{i}")
+        for i in range(_Q33_PERMS)
+    ])
+    keyed = (
+        docs.selectExpr("doc_id", "lang", "n_chars div 100 AS len_band")
+        .join(keys, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
+    )
+    perm_structs = ", ".join(
+        f"struct({i} AS perm_id, mh{i} AS mh)" for i in range(_Q33_PERMS))
+    banded = keyed.selectExpr(
+        "doc_id", "lang", "len_band", "mh0", "mh1", "mh2",
+        f"explode(array({perm_structs})) AS p",
+    ).select("doc_id", "lang", "len_band", "mh0", "mh1", "mh2",
+             "p.perm_id", "p.mh")
+    x, y = banded.alias("x"), banded.alias("y")
+    first_perm = F.expr(" AND ".join(
+        f"(x.perm_id <= {j} OR x.mh{j} != y.mh{j})"
+        for j in range(_Q33_PERMS - 1)))
+    cand = (
+        x.join(y, (F.col("x.lang") == F.col("y.lang"))
+               & (F.col("x.len_band") == F.col("y.len_band"))
+               & (F.col("x.perm_id") == F.col("y.perm_id"))
+               & (F.col("x.mh") == F.col("y.mh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id"))
+               & first_perm)
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"))
+    )
+    # verify on candidates only: the interpreted shingle lambdas run on
+    # hundreds of candidate rows, never the full corpus
+    txt = docs.selectExpr("doc_id", "text AS txt")
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.len_band") == F.col("b.len_band"))
-               & (F.col("a.mh0") == F.col("b.mh0"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        cand.join(txt.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("txt", "t_a"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("txt", "t_b"), "id_b")
+        .selectExpr("id_a", "id_b",
+                    f"{shingles_spark('t_a', 3)} AS sh_a",
+                    f"{shingles_spark('t_b', 3)} AS sh_b")
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) / "
-                   "size(array_union(a.sh, b.sh))").alias("jaccard"),
+            "id_a", "id_b",
+            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+                   "size(array_union(sh_a, sh_b))").alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)

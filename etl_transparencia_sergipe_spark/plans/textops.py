@@ -578,7 +578,8 @@ def q57_pack_chunks(spark: SparkSession, sf_dir: str,
     docs = load(spark, "documents", sf_dir)
     t = docs.select(
         "doc_id", "lang", token_count("text").alias("n_tok"),
-        (F.col("doc_id") / shard_w).cast("long").alias("shard"))
+        # integer div, not float /: exact for all long ids, no 2^53 cliff
+        F.expr(f"doc_id div {shard_w}").alias("shard"))
     # pass 1: local running sum inside each (lang, shard) — parallel
     w_local = (W.partitionBy("lang", "shard").orderBy("doc_id")
                .rowsBetween(W.unboundedPreceding, W.currentRow))

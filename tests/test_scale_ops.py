@@ -149,6 +149,32 @@ def test_asof_join_hot_key_bucketed(spark):
     assert any("_k" in ws and "_b" in ws for ws in win_specs), win_specs
 
 
+def test_asof_join_bucketed_null_right_cols(spark):
+    """NULL fields in right rows: the default plan fills each column
+    independently (last ignorenulls), so a NULL in the latest preceding
+    right row falls back to an earlier row per column. The bucketed plan
+    must reproduce that exactly — including when the fallback value lives
+    in an earlier bucket."""
+    left = spark.createDataFrame(
+        [(1, 12), (1, 30), (1, 55), (2, 40)], "k int, ts int")
+    # latest right row before ts=30 is rts=25 with val=NULL (fallback to
+    # rts=8's 100.0, which is in an EARLIER bucket for width 10); tag has
+    # the opposite null pattern so per-column independence is exercised
+    right = spark.createDataFrame(
+        [(1, 8, 100.0, None), (1, 25, None, "x"), (1, 50, 300.0, None),
+         (2, 35, None, None)],
+        "k int, rts int, val double, tag string")
+    base = asof_join(left, right, "k", "ts", "rts", ["val", "tag"])
+    got_b = sorted(map(tuple, base.collect()))
+    assert got_b == sorted([
+        (1, 12, 100.0, None), (1, 30, 100.0, "x"), (1, 55, 300.0, "x"),
+        (2, 40, None, None)])
+    for width in (10, 3, 1000):
+        bucketed = asof_join(left, right, "k", "ts", "rts", ["val", "tag"],
+                             ts_bucket=f"_ts div {width}")
+        assert sorted(map(tuple, bucketed.collect())) == got_b, width
+
+
 def test_asof_join_bucketed_randomized(spark):
     """Randomized (seeded) equivalence: default vs bucketed as-of plans on
     clustered keys, duplicate timestamps on the left, sparse right sides,
@@ -158,8 +184,11 @@ def test_asof_join_bucketed_randomized(spark):
     rng = random.Random(42)
     left = [(rng.randint(1, 6), rng.randint(0, 1000), i)
             for i in range(400)]
-    # right rows unique per (key, ts) — the operator's documented contract
-    right = list({(k, ts): (k, ts, float(i)) for i, (k, ts) in enumerate(
+    # right rows unique per (key, ts) — the operator's documented contract;
+    # ~30% NULL vals exercise the per-column ignorenulls fallback
+    right = list({(k, ts): (k, ts,
+                            None if rng.random() < 0.3 else float(i))
+                  for i, (k, ts) in enumerate(
         (rng.randint(1, 4), rng.randint(0, 1000)) for _ in range(120)
     )}.values())
     ldf = spark.createDataFrame(left, "k int, ts int, row_id int")
