@@ -21,7 +21,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -49,21 +54,49 @@ class PortalReader(DataSourceReader):
             "meses", ",".join(map(str, range(1, 13)))).split(",")]
 
     def pushFilters(self, filters):
-        """Equality filters on (cidade, ano, mes) prune the task grid at
-        planning time; everything else is returned for Spark to apply."""
+        """Equality, ``In``, and range filters on (cidade, ano, mes) prune
+        the task grid at planning time — the reference's multi-month config
+        lists (config.json:21-40) arrive as ``mes IN (...)`` and now prune
+        instead of falling back to post-scan evaluation. Pruning is EXACT
+        for these columns (every row in a partition shares its dimension
+        values), so handled filters are consumed, not re-evaluated.
+        Everything else is returned for Spark to apply post-scan.
+
+        Limit pushdown is not expressible in the Python DSv2 API (the
+        reader surface is partitions/pushFilters/read only); Spark's own
+        LocalLimit stops consuming the iterator early, which for a
+        paginated HTTP fetcher bounds work per partition, not partitions.
+        """
         for f in filters:
-            if isinstance(f, EqualTo) and len(f.attribute) == 1:
-                col, v = f.attribute[0], f.value
-                if col == "cidade" and str(v) in self.cidades:
-                    self.cidades = [str(v)]
-                    continue
-                if col == "ano" and int(v) in self.anos:
-                    self.anos = [int(v)]
-                    continue
-                if col == "mes" and int(v) in self.meses:
-                    self.meses = [int(v)]
-                    continue
+            if len(getattr(f, "attribute", ())) == 1:
+                col = f.attribute[0]
+                if col in ("cidade", "ano", "mes") and self._narrow(col, f):
+                    continue  # fully applied at planning time
             yield f  # not handled here -> Spark evaluates it post-scan
+
+    def _narrow(self, col: str, f) -> bool:
+        """Narrow the candidate list for ``col`` by filter ``f``; returns
+        False when the filter shape is not handled for this column."""
+        cast = str if col == "cidade" else int
+        if isinstance(f, EqualTo):
+            pred = lambda x, v=cast(f.value): x == v  # noqa: E731
+        elif isinstance(f, In):
+            vals = {cast(v) for v in f.value}
+            pred = lambda x, vs=vals: x in vs  # noqa: E731
+        elif col != "cidade" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)):
+            v = cast(f.value)
+            ops = {GreaterThan: lambda x: x > v,
+                   GreaterThanOrEqual: lambda x: x >= v,
+                   LessThan: lambda x: x < v,
+                   LessThanOrEqual: lambda x: x <= v}
+            pred = ops[type(f)]
+        else:
+            return False
+        attr = {"cidade": "cidades", "ano": "anos", "mes": "meses"}[col]
+        setattr(self, attr, [x for x in getattr(self, attr) if pred(x)])
+        return True
 
     def partitions(self):
         return [

@@ -38,10 +38,35 @@ def test_filter_pushdown_prunes_partitions(spark, portal):
         == {("aracaju", 2024)}
 
 
+def test_in_filter_prunes_partitions(spark, portal):
+    # mes IN (1, 3) over 2 cidades x 2 anos x 3 meses: 12 -> 8 partitions
+    df = portal.load().filter("mes IN (1, 3)")
+    assert df.rdd.getNumPartitions() == 8
+    assert {r.mes for r in df.select("mes").distinct().collect()} == {1, 3}
+
+
+def test_range_filter_prunes_partitions(spark, portal):
+    # mes >= 2 prunes mes=1 at planning time: 12 -> 8 partitions
+    df = portal.load().filter("mes >= 2")
+    assert df.rdd.getNumPartitions() == 8
+    assert {r.mes for r in df.select("mes").distinct().collect()} == {2, 3}
+    # strict > and a range conjunction prune too
+    df2 = portal.load().filter("mes > 1 AND mes < 3 AND ano <= 2023")
+    assert df2.rdd.getNumPartitions() == 2  # 2 cidades x 2023 x mes=2
+    assert {(r.ano, r.mes) for r in
+            df2.select("ano", "mes").distinct().collect()} == {(2023, 2)}
+
+
 def test_unhandled_filters_still_applied(spark, portal):
-    # a non-equality predicate is NOT pushed; Spark must apply it post-scan
-    df = portal.load().filter("mes > 2")
-    assert {r.mes for r in df.select("mes").distinct().collect()} == {3}
+    # a predicate shape the reader can't prune on (arithmetic over mes)
+    # must still be applied by Spark post-scan, on the full 12 partitions
+    df = portal.load().filter("mes % 2 = 1")
+    assert df.rdd.getNumPartitions() == 12
+    assert {r.mes for r in df.select("mes").distinct().collect()} == {1, 3}
+    # string range on cidade is not handled either — correct results anyway
+    df2 = portal.load().filter("cidade > 'b'")
+    assert {r.cidade for r in df2.select("cidade").distinct().collect()} \
+        == {"pacatuba"}
 
 
 def test_matches_map_in_pandas_path(spark, portal):
