@@ -49,17 +49,32 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce ``ts`` to session-zone TimestampType regardless of how the
+    generator wrote it: raw nanos long (TIMESTAMP(NANOS) read under
+    ``nanosAsLong``), micros TIMESTAMP_NTZ, or already a zoned timestamp.
+    Integer ``div`` for the nanos path — double division loses precision
+    past 2^53 ns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # session zone is UTC (session.py:46) so this relabel is value-exact
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _read_table(spark: SparkSession, name: str, d: str) -> DataFrame:
     path = os.path.join(d, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read it as raw nanos and convert with integer
-        # division (a double division would lose precision past 2^53 ns).
-        from pyspark.sql import functions as F
-
+        # ts encoding has varied across generator versions (nanos long vs
+        # micros timestamp); nanosAsLong keeps the nanos variant readable
+        # and normalize_event_ts picks the right conversion per schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

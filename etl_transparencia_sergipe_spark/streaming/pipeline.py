@@ -25,16 +25,24 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """events table as a file stream (one file per micro-batch by default —
     the 'lote' batch-windowing knob, pacatuba_scraper.py:405-428)."""
+    import os
+
+    from ..sources.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The ts encoding varies across generator versions (nanos long vs micros
+    # timestamp): streams need an explicit schema, so take it from the
+    # parquet footer of the actual file instead of hardcoding one.
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # FileStreamSource requires a directory; select just the events file
     # from the sf dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
