@@ -367,3 +367,63 @@ def q56_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "THEN 1 ELSE 0 END")).cast("bigint").alias("n_low_outliers"),
         )
     )
+
+
+@register(
+    "q73_merge_materialized",
+    oracle="""
+    WITH base AS (
+        SELECT EXTRACT(month FROM o_orderdate) AS mes, o_orderkey, o_custkey,
+               o_orderstatus, CAST(o_totalprice AS DECIMAL(18,3)) AS o_totalprice
+        FROM orders
+    ), delta AS (
+        SELECT mes, o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3))
+               AS o_totalprice
+        FROM base WHERE mes = 3
+    ), merged AS (
+        SELECT * FROM base WHERE mes <> 3
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT CAST(mes AS INT) AS mes, COUNT(*) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM merged GROUP BY mes
+    """,
+    doc="D9 MERGE materialized end-to-end [EXT]: writes the base table as "
+        "(mes)-hive-partitioned parquet, then dynamic-partition-OVERWRITES "
+        "a re-processed month-3 delta (the reference's idempotent month "
+        "re-run, file_utils.py:57) and aggregates the READ-BACK files — "
+        "unlike q36, the merge semantics here are enforced by the file "
+        "layout, not the logical plan. The oracle merges purely in SQL; a "
+        "stale or duplicated mes=3 partition on disk breaks the hash. "
+        "Scratch lives under the repo (.scratch/), keyed by sf tag, and "
+        "every call rewrites base first so the query is idempotent.",
+)
+def q73_merge_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "..", ".scratch", f"merge_{tag}")
+    out = os.path.abspath(out)
+
+    base = load(spark, "orders", sf_dir).select(
+        F.month("o_orderdate").alias("mes"),
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,3)").alias("o_totalprice"))
+    # pass 1: full static overwrite resets any prior state (idempotence)
+    base.write.mode("overwrite").partitionBy("mes").parquet(out)
+    delta = base.filter(F.col("mes") == 3).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)")
+         * F.lit(1.1).cast("decimal(3,1)")).cast("decimal(18,3)"))
+    # pass 2: dynamic overwrite replaces ONLY the mes=3 partition dir
+    (delta.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("mes").parquet(out))
+    merged = spark.read.parquet(out)
+    return merged.groupBy(F.col("mes").cast("int").alias("mes")).agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").cast("double").alias("total"))

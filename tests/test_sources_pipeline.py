@@ -138,3 +138,49 @@ def test_comma_dialect_sniffed(spark, tmpdir):
     assert sniff_sep(spark, raw) == ","
     back = read_ptbr_csv(spark, raw, schema="x int, y int")
     assert back.count() == 2
+
+
+def test_merge_materialized_idempotent_and_partition_scoped(spark, sf_dir):
+    """q73: file-level MERGE. Re-running must be bit-identical (idempotent
+    month re-run, file_utils.py:57), the mes=3 partition must carry exactly
+    the 1.1x delta generation, and a stale partition left on disk by a
+    previous (failed) run must be wiped by the static base rewrite."""
+    from pyspark.sql import functions as F
+
+    from etl_transparencia_sergipe_spark.plans.registry import queries
+
+    q73 = queries()["q73_merge_materialized"]
+    r1 = {tuple(r) for r in q73(spark, sf_dir).collect()}
+    r2 = {tuple(r) for r in q73(spark, sf_dir).collect()}
+    assert r1 == r2 and len(r1) == 12
+
+    # the merged mes=3 partition total must be the exact decimal 1.1x of
+    # the base month-3 total (partition fully replaced, no mixed rows)
+    from etl_transparencia_sergipe_spark.sources.catalog import load_table
+
+    base3 = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.month("o_orderdate") == 3)
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                    * F.lit(1.1).cast("decimal(3,1)")).cast("decimal(18,3)"))
+             .cast("double").alias("t"))
+        .collect()[0].t
+    )
+    merged3 = {t[0]: t[2] for t in r1}[3]
+    assert merged3 == base3
+
+    # plant a bogus partition, re-run, and confirm it is gone
+    import os
+
+    out = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch",
+        f"merge_{sf_dir.strip('/').replace('/', '_')}"))
+    spark.range(1).selectExpr(
+        "CAST(99 AS INT) AS mes", "id AS o_orderkey", "id AS o_custkey",
+        "'X' AS o_orderstatus",
+        "CAST(1 AS DECIMAL(18,3)) AS o_totalprice",
+    ).write.mode("append").partitionBy("mes").parquet(out)
+    assert os.path.isdir(os.path.join(out, "mes=99"))
+    r3 = {tuple(r) for r in q73(spark, sf_dir).collect()}
+    assert r3 == r1
+    assert not os.path.isdir(os.path.join(out, "mes=99"))
