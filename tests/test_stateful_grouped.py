@@ -72,3 +72,32 @@ def test_sample_frames_udtf_shape(spark, sf_dir):
     for frames_of in by_media.values():
         idxs = sorted(f.frame_idx for f in frames_of)
         assert idxs == list(range(len(idxs)))
+
+
+def test_group_profile_skew_guard_and_builtin_twin(spark, sf_dir):
+    """A group beyond max_group_rows must fail loudly (not OOM); the
+    built-in twin must agree with the pandas path and have no cap."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from etl_transparencia_sergipe_spark.operators.grouped import (
+        group_profile_builtin,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity")
+
+    with pytest.raises(PythonException, match="max_group_rows"):
+        group_profile(li, "l_returnflag", "l_quantity",
+                      max_group_rows=10).collect()
+
+    got = {r.l_returnflag: r for r in
+           group_profile(li, "l_returnflag", "l_quantity").collect()}
+    twin = {r.l_returnflag: r for r in
+            group_profile_builtin(li, "l_returnflag",
+                                  "l_quantity").collect()}
+    assert set(got) == set(twin)
+    for k, r in got.items():
+        t = twin[k]
+        assert (t.n, t.mean, t.std, t.median, t.iqr) == pytest.approx(
+            (r.n, r.mean, r.std, r.median, r.iqr))
