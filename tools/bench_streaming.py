@@ -1,0 +1,124 @@
+"""Streaming throughput bench (VERDICT.md round-2 item 8).
+
+Measures end-to-end events/sec for the Structured Streaming surface at
+$SPARK_GRAFT_SF_DIR (default sf0.1). The events table is re-sharded into
+8 parquet files in .scratch/ and streamed with maxFilesPerTrigger=1, so
+every scenario runs 8 real micro-batches (state carried across batches),
+not one batch-sized swallow. availableNow + processAllAvailable drains to
+completion; wall time covers query start -> drain.
+
+Scenarios:
+- tumbling_counts  (10 min windows, 30 min watermark, append)
+- session_stats    (5 min gap session windows, 30 min watermark, append)
+- click_purchase_join (stream-stream interval join, both sides
+  watermarked, state bounded by the 30 min horizon)
+- running_user_stats (applyInPandasWithState custom stateful op, update)
+
+Prints one JSON line: {"n_events", "sf_dir", "scenarios": {name:
+{"sec", "events_per_sec", "out_rows"}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_transparencia_sergipe_spark.session import get_spark  # noqa: E402
+from etl_transparencia_sergipe_spark.sources.catalog import (  # noqa: E402
+    load_table,
+    normalize_event_ts,
+)
+from etl_transparencia_sergipe_spark.streaming.stateful import (  # noqa: E402
+    running_user_stats,
+)
+from etl_transparencia_sergipe_spark.streaming.windows import (  # noqa: E402
+    click_purchase_join,
+    session_stats,
+    tumbling_counts,
+)
+
+N_SHARDS = 8
+
+
+def shard_events(spark, sf_dir: str) -> tuple[str, int]:
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch", f"stream_events_{tag}"))
+    ev = load_table(spark, "events", sf_dir)
+    n = ev.count()
+    shutil.rmtree(out, ignore_errors=True)
+    ev.repartition(N_SHARDS).write.mode("overwrite").parquet(out)
+    return out, n
+
+
+def stream_source(spark, shard_dir: str):
+    schema = spark.read.parquet(shard_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+    )
+    return normalize_event_ts(raw)
+
+
+def drain(df, name: str, mode: str) -> tuple[float, int]:
+    t0 = time.time()
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    sec = time.time() - t0
+    spark = df.sparkSession
+    rows = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    q.stop()
+    return sec, rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-streaming")
+    shard_dir, n_events = shard_events(spark, sf_dir)
+
+    scenarios = {
+        "tumbling_counts": (
+            lambda s: tumbling_counts(s, watermark="30 minutes"), "append"),
+        "session_stats": (
+            lambda s: session_stats(s, watermark="30 minutes"), "append"),
+        "click_purchase_join": (
+            lambda s: click_purchase_join(s, watermark="30 minutes"),
+            "append"),
+        "running_user_stats": (
+            lambda s: running_user_stats(s, expire_state=False), "update"),
+    }
+
+    out: dict[str, dict] = {}
+    for name, (build, mode) in scenarios.items():
+        df = build(stream_source(spark, shard_dir))
+        sec, rows = drain(df, f"bench_{name}", mode)
+        out[name] = {
+            "sec": round(sec, 3),
+            "events_per_sec": round(n_events / sec),
+            "out_rows": rows,
+        }
+        print(f"# {name}: {sec:.2f}s  "
+              f"{n_events / sec:,.0f} ev/s  {rows} out rows",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "n_events": n_events, "sf_dir": sf_dir, "n_microbatches": N_SHARDS,
+        "scenarios": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()
