@@ -52,6 +52,12 @@ class PortalReader(DataSourceReader):
         self.anos = [int(a) for a in options.get("anos", "2024").split(",")]
         self.meses = [int(m) for m in options.get(
             "meses", ",".join(map(str, range(1, 13)))).split(",")]
+        # LIMIT cannot be pushed through the Python DSv2 API (see
+        # pushFilters docstring), so expose the per-partition bound a
+        # pushed limit would buy as an explicit reader option: a paginated
+        # fetcher stops requesting pages once max_rows rows were yielded.
+        self.max_rows = int(options["max_rows"]) if "max_rows" in options \
+            else None
 
     def pushFilters(self, filters):
         """Equality, ``In``, and range filters on (cidade, ano, mes) prune
@@ -117,6 +123,9 @@ class PortalReader(DataSourceReader):
             "mes": [partition.mes],
         })
         rows = synthetic_fetch(tasks)
+        if self.max_rows is not None:
+            # a real fetcher would stop paginating here instead of slicing
+            rows = rows.head(self.max_rows)
         for row in rows.itertuples(index=False):
             d = row._asdict()
             yield tuple(d[c] for c in _COLS)

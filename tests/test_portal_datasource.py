@@ -82,3 +82,22 @@ def test_matches_map_in_pandas_path(spark, portal):
     a = sorted(map(tuple, via_ds.select(*sorted(via_ds.columns)).collect()))
     b = sorted(map(tuple, via_mip.select(*sorted(via_ds.columns)).collect()))
     assert a == b
+
+
+def test_max_rows_bounds_each_partition(spark, portal):
+    """max_rows: the per-partition fetch bound a pushed LIMIT would give
+    (the Python DSv2 API has no limit-pushdown hook)."""
+    full_per_part = (
+        portal.load().groupBy("cidade", "ano", "mes").count().collect())
+    assert all(r["count"] > 2 for r in full_per_part)
+    capped = (
+        spark.read.format("transparencia_portal")
+        .option("cidades", "aracaju,pacatuba")
+        .option("anos", "2023,2024")
+        .option("meses", "1,2,3")
+        .option("max_rows", "2")
+        .load()
+    )
+    per_part = capped.groupBy("cidade", "ano", "mes").count().collect()
+    assert len(per_part) == 12
+    assert all(r["count"] == 2 for r in per_part)
