@@ -123,3 +123,29 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_normalize_event_ts_all_encodings(spark):
+    """The generator has shipped events.ts as raw nanos (long) and as
+    micros TIMESTAMP_NTZ across rounds; both must normalize to the same
+    session-zone timestamp, and an already-zoned ts must pass through."""
+    from pyspark.sql import functions as F
+
+    from etl_transparencia_sergipe_spark.sources.catalog import (
+        normalize_event_ts,
+    )
+
+    micros = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    as_nanos = spark.range(1).select((F.lit(micros) * 1000).alias("ts"))
+    as_ntz = spark.range(1).select(
+        F.timestamp_micros(F.lit(micros)).cast("timestamp_ntz").alias("ts"))
+    as_ltz = spark.range(1).select(
+        F.timestamp_micros(F.lit(micros)).alias("ts"))
+
+    vals = set()
+    for df in (as_nanos, as_ntz, as_ltz):
+        out = normalize_event_ts(df)
+        assert out.schema["ts"].dataType.simpleString() == "timestamp"
+        vals.add(out.collect()[0].ts)
+    assert len(vals) == 1
+    assert vals.pop().isoformat() == "2023-11-14T22:13:20.123456"
