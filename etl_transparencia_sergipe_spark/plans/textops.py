@@ -652,3 +652,141 @@ def q59_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tok").cast("double") / F.sum("n_sent"))
         .alias("avg_sent_tokens"),
     )
+
+
+@register(
+    "q74_bigram_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+        FROM (SELECT doc_id, lang, {tokens_duck('text')} AS toks
+              FROM documents)
+    ), bg AS (
+        SELECT lang,
+               t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+        FROM tok
+    )
+    SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM bg WHERE bigram IS NOT NULL
+    GROUP BY lang, bigram
+    QUALIFY row_number() OVER (ORDER BY freq DESC, lang ASC, bigram ASC)
+            <= 20
+    """,
+    doc="F16 corpus bigram statistics: top-20 (lang, bigram) pairs by "
+        "frequency — the n-gram LM / tokenizer-training precursor pass "
+        "[EXT]. posexplode + per-doc lead window builds the bigram "
+        "stream; partial agg collapses it before the (lang, bigram) "
+        "shuffle, TakeOrderedAndProject takes the head. NULL-propagating "
+        "concat (not concat_ws) so the trailing token drops identically "
+        "on both engines.",
+)
+def q74_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.selectExpr(
+        "doc_id", "lang",
+        f"posexplode({tokens_spark('text')}) AS (pos, t)")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = tok.withColumn(
+        "bigram", F.concat("t", F.lit(" "), F.lead("t", 1).over(w)))
+    return (
+        bg.filter("bigram IS NOT NULL")
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("lang"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q75_ttr_by_source",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               len({tokens_duck('text')}) AS n_tok,
+               len(list_distinct({tokens_duck('text')})) AS n_types
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(floor(CAST(n_types AS DOUBLE) / n_tok * 1000000)
+                         AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000.0) AS avg_ttr_q6
+    FROM per_doc GROUP BY source
+    """,
+    doc="F16 lexical-diversity quality signal: per-doc type-token ratio "
+        "(distinct/total tokens), averaged per source — low TTR flags "
+        "template/boilerplate-heavy sources for downweighting [EXT]. The "
+        "mean sums floor(ttr*1e6) as BIGINT (the q69 idiom): floor of an "
+        "identical double is bit-deterministic cross-engine, while a "
+        "double sum's addition order is not. Pure map-side projection + "
+        "one 20-group agg — no shuffle grows with the corpus.",
+)
+def q75_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    per_doc = docs.selectExpr(
+        "source",
+        f"size({tokens_spark('text')}) AS n_tok",
+        f"size(array_distinct({tokens_spark('text')})) AS n_types")
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("total_tokens"),
+             (F.sum(F.floor(F.col("n_types").cast("double")
+                            / F.col("n_tok") * 1e6).cast("bigint"))
+              .cast("double")
+              / (F.count("*") * F.lit(1e6))).alias("avg_ttr_q6"))
+    )
+
+
+_PREFIX_TOKENS = 32
+
+
+@register(
+    "q76_prefix_dedup",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, source,
+               {h60_duck(f"array_to_string(({tokens_duck('text')})"
+                         f"[1:{_PREFIX_TOKENS}], ' ')")} AS ph
+        FROM documents
+    ), g AS (
+        SELECT ph, COUNT(*) AS grp_n FROM p GROUP BY ph
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_prefix_dup_docs,
+           CAST(COUNT(DISTINCT CASE WHEN grp_n > 1 THEN ph END) AS BIGINT)
+               AS n_dup_groups
+    FROM p JOIN g USING (ph)
+    GROUP BY source
+    """,
+    doc="P9-adjacent prefix dedup (RefinedWeb/C4 curation op): hash the "
+        "first 32 tokens; docs sharing a prefix hash are boilerplate-"
+        "intro suspects, counted per source [EXT]. Group sizes come from "
+        "a self-join on the prefix hash — both sides shuffle on the SAME "
+        "key, so Catalyst co-partitions them (one exchange each, no "
+        "broadcast of an unbounded dup list); at 100 TB this is the "
+        "vocab-shaped shuffle the other dedup tiers already use.",
+)
+def q76_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    prefix = (f"array_join(slice({tokens_spark('text')}, 1, "
+              f"{_PREFIX_TOKENS}), ' ')")
+    p = docs.selectExpr(
+        "doc_id", "source", f"{h60_spark(prefix)} AS ph")
+    g = p.groupBy("ph").agg(F.count("*").alias("grp_n"))
+    return (
+        p.join(g, "ph")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum(F.when(F.col("grp_n") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_prefix_dup_docs"),
+             F.countDistinct(F.when(F.col("grp_n") > 1, F.col("ph")))
+             .cast("bigint").alias("n_dup_groups"))
+    )
