@@ -119,6 +119,7 @@ def _ensure_loaded() -> None:
         streaming_queries,
         ml_queries,
         curation_queries,
+        event_analytics,
     )
 
     missing = [n for n in HEADLINE_50 if n not in REGISTRY]
