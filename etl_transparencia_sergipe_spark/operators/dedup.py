@@ -167,19 +167,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Verify: build each CANDIDATE doc's shingle set exactly once —
-    # semi-join the corpus to candidate ids, run the codegen shingler
-    # (shingle_rows) and collect_set per doc — then join the two arrays
-    # to each pair for the exact-Jaccard intersect/union. The previous
-    # formulation rebuilt both shingle arrays per PAIR with interpreted
-    # transform() lambdas, so a doc appearing in p pairs paid the
-    # interpreted split+lambda cost p times; on dup-dense corpora
-    # (sf1: 248k pairs over 50k docs) that stage dominated the query
-    # (measured 22 s -> 6 s at sf1, unchanged oracle hashes: collect_set
-    # over shingle ROWS is the same distinct set array_distinct built).
+    return jaccard_verify_pairs(df, cand, id_col, text_col,
+                                n).filter(
+        F.col("jaccard") >= threshold)
+
+
+def jaccard_verify_pairs(df: DataFrame, cand: DataFrame, id_col: str,
+                         text_col: str, n: int = 3) -> DataFrame:
+    """Exact-Jaccard verify for candidate pairs (id_a, id_b): build each
+    CANDIDATE doc's shingle set exactly once — semi-join the corpus to
+    candidate ids, run the codegen shingler (shingle_rows) and
+    collect_set per doc — then join the two arrays to each pair for the
+    intersect/union. A per-pair formulation (interpreted transform()
+    lambdas over the raw text on both sides of every pair) pays the
+    lambda cost p times for a doc in p pairs; on dup-dense corpora that
+    stage dominates (q31 at sf1: 22 s -> 6 s with identical pair counts
+    and oracle hashes — collect_set over shingle ROWS is the same
+    distinct set array_distinct built). Returns cand + jaccard."""
+    # no .distinct(): the left_semi join is set-semantic on the right side
+    # already, so deduplicating here would only add an exchange
     cand_ids = (cand.selectExpr("id_a AS _cand_id")
-                .union(cand.selectExpr("id_b"))
-                .distinct())
+                .union(cand.selectExpr("id_b")))
     doc_sh = (
         shingle_rows(df.join(cand_ids,
                              F.col(id_col) == F.col("_cand_id"),
@@ -187,7 +195,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                      id_col, text_col, n)
         .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     )
-    verified = (
+    return (
         cand.join(doc_sh.selectExpr("doc_id AS id_a", "sh AS sh_a"), "id_a")
         .join(doc_sh.selectExpr("doc_id AS id_b", "sh AS sh_b"), "id_b")
         .withColumn(
@@ -195,10 +203,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
                    "size(array_union(sh_a, sh_b))"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(*cand.columns, "jaccard")
     )
-    return verified
 
 
 def _band_key(cols: list[str]) -> str:

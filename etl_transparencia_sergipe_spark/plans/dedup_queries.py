@@ -228,22 +228,16 @@ def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"),
                 F.col("y.doc_id").alias("id_b"))
     )
-    # verify on candidates only: the interpreted shingle lambdas run on
-    # hundreds of candidate rows, never the full corpus
-    txt = docs.selectExpr("doc_id", "text AS txt")
+    # verify on candidates only, each candidate doc's shingle set built
+    # once (jaccard_verify_pairs — the per-pair interpreted-lambda
+    # formulation paid the shingle cost once per pair, dominant on
+    # dup-dense corpora)
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        jaccard_verify_pairs,
+    )
+
     return (
-        cand.join(txt.withColumnRenamed("doc_id", "id_a")
-                  .withColumnRenamed("txt", "t_a"), "id_a")
-        .join(txt.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("txt", "t_b"), "id_b")
-        .selectExpr("id_a", "id_b",
-                    f"{shingles_spark('t_a', 3)} AS sh_a",
-                    f"{shingles_spark('t_b', 3)} AS sh_b")
-        .select(
-            "id_a", "id_b",
-            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
-                   "size(array_union(sh_a, sh_b))").alias("jaccard"),
-        )
+        jaccard_verify_pairs(docs, cand, "doc_id", "text", 3)
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
