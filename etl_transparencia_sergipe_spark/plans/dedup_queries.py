@@ -296,3 +296,109 @@ def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("dist"), F.asc("id_a"), F.asc("id_b"))
         .limit(25)
     )
+
+
+def _q79_sig_duck() -> str:
+    return ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({HASH_A[i]} * h + {HASH_B[i]})"
+        f" % {MERSENNE})) AS mh{i}"
+        for i in range(16))
+
+
+_Q79_BANDS = "\n            UNION ALL ".join(
+    f"SELECT doc_id, is_new, {b} AS band_id, "
+    + h60_duck("concat_ws('_', " + ", ".join(
+        f"mh{b * 4 + j}" for j in range(4)) + ")")
+    + " AS band_hash FROM sig"
+    for b in range(4))
+
+
+@register(
+    "q79_incremental_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new,
+               {shingles_duck('text', 3)} AS sh
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, is_new,
+               list_transform(sh, s -> {h60_duck('s')} % {MERSENNE}) AS hs
+        FROM base
+    ), sig AS (
+        SELECT doc_id, is_new, {_q79_sig_duck()}
+        FROM hashed
+    ), banded AS (
+            {_Q79_BANDS}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         AND NOT x.is_new AND y.is_new
+    ), verified AS (
+        SELECT id_b AS new_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand
+        JOIN base a ON a.doc_id = id_a
+        JOIN base b ON b.doc_id = id_b
+    )
+    SELECT new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM verified WHERE jaccard >= 0.4
+    GROUP BY new_id
+    """,
+    doc="P10 incremental ingestion dedup: a NEW batch (sources src15+) is "
+        "LSH-checked against the EXISTING corpus (src0-14) only — the "
+        "production pattern where yesterday's signatures are persisted "
+        "and today's batch probes their band buckets [EXT]. One "
+        "signature pass over the union, then an ASYMMETRIC band join "
+        "(old side x new side, no old-old or new-new pairs), exact-"
+        "Jaccard verify via the shared once-per-doc shingle-set path "
+        "(jaccard_verify_pairs), per-new-doc match accounting. Shuffle "
+        "shape at 100 TB: signatures ~ n_docs x 16 ints; the band join "
+        "probes only the new batch's buckets.",
+)
+def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        shingle_rows,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    sides = docs.selectExpr(
+        "doc_id", "CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new")
+    tok = shingle_rows(docs, "doc_id", "text", 3).selectExpr(
+        "doc_id", f"{h60_spark('s')} % {MERSENNE} AS h")
+    sig = tok.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE}"))
+        .alias(f"mh{i}")
+        for i in range(16)
+    ]).join(sides, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    band_structs = ", ".join(
+        "struct({b} AS band_id, {h} AS band_hash)".format(
+            b=b,
+            h=h60_spark("concat_ws('_', " + ", ".join(
+                f"mh{b * 4 + j}" for j in range(4)) + ")"))
+        for b in range(4))
+    banded = sig.selectExpr(
+        "doc_id", "is_new", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "is_new", "band.band_id", "band.band_hash")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_hash") == F.col("y.band_hash"))
+               & (~F.col("x.is_new")) & F.col("y.is_new"))
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        jaccard_verify_pairs(docs, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.4)
+        .groupBy(F.col("id_b").alias("new_id"))
+        .agg(F.count("*").cast("bigint").alias("n_matches"),
+             F.max("jaccard").alias("max_jaccard"))
+    )
