@@ -17,8 +17,13 @@ from pyspark.sql import functions as F
 from etl_transparencia_sergipe_spark.operators.dedup import (
     shingle_rows,
     shingles_duck,
+    tokens_duck,
+    tokens_spark,
 )
-from etl_transparencia_sergipe_spark.operators.hashing import h60_duck
+from etl_transparencia_sergipe_spark.operators.hashing import (
+    h60_duck,
+    h60_spark,
+)
 from etl_transparencia_sergipe_spark.plans._helpers import load
 from etl_transparencia_sergipe_spark.plans.registry import register
 
@@ -336,4 +341,52 @@ def q72_boilerplate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("too_short") + F.col("dominant_token")
                      + F.col("numeric_heavy") == 0, 1).otherwise(0))
         .cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "q80_token_budget_sample",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               len({tokens_duck('text')}) AS n_tok,
+               {h60_duck("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ), ranked AS (
+        SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM sized
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM ranked WHERE cum_tok <= 20000
+    GROUP BY source
+    """,
+    doc="Curation: deterministic token-budget downsampling — each source "
+        "keeps docs in hash-of-id order until a 20k-token budget is "
+        "reached (the mixture-building step after q65 sets per-source "
+        "rates) [EXT]. Hash order is a reproducible shuffle (no seed "
+        "drift across engines/runs) and the cutoff is an all-integer "
+        "running sum, so the kept set is bit-stable. Scale shape: one "
+        "shuffle on source + an in-partition sort for the window; for "
+        "sources too large to sort, the q68 hash-bucket filter is the "
+        "pre-prune (sample first, budget-trim second).",
+)
+def q80_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, "documents", sf_dir)
+    sized = docs.selectExpr(
+        "source", "doc_id",
+        f"size({tokens_spark('text')}) AS n_tok",
+        f"{h60_spark('CAST(doc_id AS STRING)')} AS h")
+    w = (W.partitionBy("source").orderBy("h", "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked = sized.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        ranked.filter("cum_tok <= 20000")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs_kept"),
+             F.sum("n_tok").cast("bigint").alias("tokens_kept"))
     )
