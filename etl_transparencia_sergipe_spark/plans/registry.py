@@ -64,33 +64,33 @@ _LOADED = False
 # the extended tier — all still oracle-checked by tools/check_correctness
 # every round (CORRECTNESS_LOCAL.md).
 #
-# Round-3 rotation (VERDICT.md next-round item 6): the 13 round-2
-# extensions that had only local-gate rows (q10, q17-q19, q24, q26, q45,
-# q48, q65, q67-q69, q72) move into the driver window so the driver itself
-# certifies them. They displace 13 queries that are either rows-only by
-# contract (q62, q71 — their driver row carries no hash, so the slot is
-# wasted) or earned driver-green HASH rows in BOTH r01 and r02 with
-# unchanged implementations (q03, q06, q13, q15, q16, q21, q23, q25, q37,
-# q41, q55) — all remain hash-verified in the local gate.
+# Round-3 rotation (r3 VERDICT item 6) moved the 13 round-2 extensions
+# into the driver window; all earned green hash rows in CORRECTNESS_r03.
+#
+# Round-4 rotation (r3 VERDICT item 1): the 8 round-3 queries (q73-q80 —
+# materialized MERGE, bigrams, TTR, prefix dedup, funnel, cohort
+# retention, incremental dedup, token budget) move into the driver window
+# for certification. They displace 8 stalwarts that earned driver-green
+# HASH rows in BOTH r02 and r03 with unchanged implementations (q04, q05,
+# q07, q11, q14, q34, q36, q47) — all remain hash-verified in the local
+# gate (CORRECTNESS_LOCAL.md). q35 and q52 stay in the window because
+# their plans change this round (VERDICT items 2 and 4) and the driver
+# must certify the change.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
-    "q04_monthly_revenue", "q05_top_customers",
-    "q07_anti_join_inactive_customers",
     "q10_running_monthly_revenue",
-    "q11_rollup_revenue",
-    "q14_range_join_ship_lag",
     "q17_price_bucket_pivot", "q18_cube_revenue", "q19_percentiles",
     "q20_token_stats",
     "q22_langid_heuristic",
     "q24_fingerprint_dedup", "q26_map_explode",
     "q30_exact_dedup",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
-    "q34_asof_join", "q35_levenshtein_neardup", "q36_upsert_merge",
+    "q35_levenshtein_neardup",
     "q38_dedup_clusters", "q39_curation_keep_canonical",
     "q40_knn_bruteforce",
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
     "q45_lsh_multiprobe", "q46_ivf_ann_topk",
-    "q47_corpus_curation", "q48_grouping_sets",
+    "q48_grouping_sets",
     "q49_winnowing_fingerprints",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
     "q53_vocab_topk", "q54_hash_split_stratified",
@@ -100,6 +100,9 @@ HEADLINE_50: tuple[str, ...] = (
     "q67_corr_series", "q68_mixture_sample", "q69_embedding_dim_stats",
     "q70_multimodal_metadata",
     "q72_boilerplate_rules",
+    "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
+    "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
+    "q79_incremental_dedup", "q80_token_budget_sample",
 )
 
 
