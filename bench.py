@@ -40,12 +40,15 @@ HEADLINE = [
     "q31_minhash_lsh_dedup",
     "q32_simhash_dedup",
     "q33_ngram_jaccard_topk",
+    "q35_levenshtein_neardup",
     "q40_knn_bruteforce",
     "q50_tumbling_window",
     "q52_session_windows",
     "q57_pack_chunks",
     "q64_decontamination",
     "q70_multimodal_metadata",
+    "q77_event_funnel",
+    "q79_incremental_dedup",
 ]
 
 

@@ -69,6 +69,69 @@ def main() -> None:
     stats(["lang", "len_band"], "  (lang, len_band)        ")
     stats(["lang", "len_band", "mh0"], "  (lang, len_band, mh0)   ")
 
+    q35_stress(spark, sf_dir, mult)
+
+
+def q35_stress(spark, sf_dir: str, mult: int) -> None:
+    """q35 levenshtein blocking stress: inflate part mult-x (key-shifted
+    copies, names unchanged — the worst case where every name gains mult-1
+    exact twins in its block) and compare the pairs the OLD fixed
+    (brand, size) blocking would verify with levenshtein against the
+    candidates the positional char-3-gram equi-join emits."""
+    from etl_transparencia_sergipe_spark.sources.catalog import load_table
+
+    p0 = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_brand", "p_size")
+    parts = [p0]
+    for i in range(1, mult):
+        parts.append(p0.select(
+            (F.col("p_partkey") + i * 10_000_000).alias("p_partkey"),
+            "p_name", "p_brand", "p_size"))
+    part = parts[0]
+    for q in parts[1:]:
+        part = part.unionByName(q)
+    part = part.repartition(64).cache()
+    n = part.count()
+
+    old_pairs = (
+        part.groupBy("p_brand", "p_size").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2),
+             F.max("count"))
+        .collect()[0]
+    )
+    g = (
+        part.select(
+            "p_partkey", "p_name", "p_brand", "p_size",
+            F.explode(
+                F.expr("sequence(1, greatest(length(p_name) - 2, 1))")
+            ).alias("pos"))
+        .withColumn("g", F.expr("substring(p_name, CAST(pos AS INT), 3)"))
+    )
+    gram_block = (
+        g.groupBy("p_brand", "p_size", "g").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    x, y = g.alias("x"), g.alias("y")
+    cand = (
+        x.join(y, (F.col("x.p_brand") == F.col("y.p_brand"))
+               & (F.col("x.p_size") == F.col("y.p_size"))
+               & (F.col("x.g") == F.col("y.g"))
+               & (F.abs(F.col("x.pos") - F.col("y.pos")) <= 4)
+               & (F.col("x.p_partkey") < F.col("y.p_partkey"))
+               & (F.abs(F.length(F.col("x.p_name"))
+                        - F.length(F.col("y.p_name"))) <= 4))
+        .select(F.col("x.p_partkey").alias("id_a"),
+                F.col("y.p_partkey").alias("id_b"))
+        .distinct().count()
+    )
+    print(f"q35 part: {n} rows (x{mult})")
+    print(f"  old (brand,size) blocking: max_block={old_pairs[1]} "
+          f"levenshtein_pairs={int(old_pairs[0])}")
+    print(f"  pos-3gram blocking: max_gram_block={gram_block} "
+          f"candidates={cand} "
+          f"reduction={old_pairs[0] / max(cand, 1):.1f}x")
+    part.unpersist()
+
 
 if __name__ == "__main__":
     main()
