@@ -116,6 +116,26 @@ def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 16, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signatures: DataFrame[doc_id, mh0..mh{k-1}].
+
+    Explode shingles -> codegen md5 -> groupBy(doc_id) with k plain min()
+    aggregates; partial (map-side) aggregation collapses each document's
+    tokens before the exchange, so the shuffle carries n_docs x k integers.
+    This is the persistable unit of incremental dedup: write this frame
+    once per ingested batch and later batches probe it from storage
+    without touching the original text (operators/sigstore.py).
+    """
+    tok = shingle_rows(df, id_col, text_col, n).selectExpr(
+        "doc_id", f"{h60_spark('s')} % {MERSENNE} AS h")
+    return tok.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE}"))
+        .alias(f"mh{i}")
+        for i in range(k)
+    ])
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 16, bands: int = 4,
                       threshold: float = 0.5, n: int = 3) -> DataFrame:

@@ -388,15 +388,19 @@ _Q79_BANDS = "\n            UNION ALL ".join(
     GROUP BY new_id
     """,
     doc="P10 incremental ingestion dedup: a NEW batch (sources src15+) is "
-        "LSH-checked against the EXISTING corpus (src0-14) only — the "
-        "production pattern where yesterday's signatures are persisted "
-        "and today's batch probes their band buckets [EXT]. One "
-        "signature pass over the union, then an ASYMMETRIC band join "
-        "(old side x new side, no old-old or new-new pairs), exact-"
-        "Jaccard verify via the shared once-per-doc shingle-set path "
-        "(jaccard_verify_pairs), per-new-doc match accounting. Shuffle "
-        "shape at 100 TB: signatures ~ n_docs x 16 ints; the band join "
-        "probes only the new batch's buckets.",
+        "LSH-checked against the EXISTING corpus (src0-14) only — an "
+        "ASYMMETRIC band join (old side x new side, no old-old or "
+        "new-new pairs), exact-Jaccard verify via the shared once-per-"
+        "doc shingle-set path (jaccard_verify_pairs), per-new-doc match "
+        "accounting [EXT]. NOTE: this formulation recomputes BOTH sides' "
+        "signatures from raw text each run — exact-verify needs the old "
+        "docs' shingle sets, so the full corpus is scanned; the "
+        "storage-backed variant that never re-reads historical text is "
+        "q81_sigstore_probe (operators/sigstore.py), which trades exact "
+        "verify for the k-minhash Jaccard ESTIMATE available from the "
+        "persisted signatures alone. Shuffle shape at 100 TB: "
+        "signatures ~ n_docs x 16 ints; the band join probes only the "
+        "new batch's buckets.",
 )
 def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
@@ -440,4 +444,103 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id_b").alias("new_id"))
         .agg(F.count("*").cast("bigint").alias("n_matches"),
              F.max("jaccard").alias("max_jaccard"))
+    )
+
+
+_Q81_SIG = ",\n               ".join(
+    f"list_min(list_transform(hs, h -> ({HASH_A[i]} * h + {HASH_B[i]})"
+    f" % {MERSENNE})) AS mh{i}"
+    for i in range(16))
+
+_Q81_BANDS = "\n            UNION ALL ".join(
+    f"SELECT doc_id, is_new, {b} AS band_id, "
+    + h60_duck("concat_ws('_', " + ", ".join(
+        f"mh{b * 4 + j}" for j in range(4)) + ")")
+    + " AS band_hash FROM sig"
+    for b in range(4))
+
+_Q81_AGREE = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16))
+
+
+@register(
+    "q81_sigstore_probe",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new,
+               {shingles_duck('text', 3)} AS sh
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, is_new,
+               list_transform(sh, s -> {h60_duck('s')} % {MERSENNE}) AS hs
+        FROM base
+    ), sig AS (
+        SELECT doc_id, is_new, {_Q81_SIG}
+        FROM hashed
+    ), banded AS (
+            {_Q81_BANDS}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS old_id, y.doc_id AS new_id
+        FROM banded x JOIN banded y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         AND NOT x.is_new AND y.is_new
+    ), agreed AS (
+        SELECT new_id, CAST({_Q81_AGREE} AS BIGINT) AS n_agree
+        FROM cand
+        JOIN sig a ON a.doc_id = old_id
+        JOIN sig b ON b.doc_id = new_id
+    )
+    SELECT new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(n_agree) AS max_agree
+    FROM agreed WHERE n_agree >= 7
+    GROUP BY new_id
+    """,
+    doc="P10 STORAGE-BACKED incremental dedup [EXT]: the existing "
+        "corpus's (src0-14) MinHash signatures are PERSISTED as a "
+        "parquet signature store (operators/sigstore.py — built here "
+        "once per sf dir, keyed by the source file's identity) and the "
+        "NEW batch (src15+) probes the store's band buckets. The probe "
+        "plan's old side reads doc_id + 16 ints from the store — the "
+        "historical corpus's text column is never scanned on the probe "
+        "path (plan-asserted in tests/test_sigstore.py); only new docs "
+        "are shingled. Candidate pairs are scored with the k-agreement "
+        "minhash Jaccard estimate (n_agree/16, integer-exact cross-"
+        "engine), threshold n_agree >= 7 (~0.44): the price of never "
+        "re-reading 100 TB of history is estimated rather than exact "
+        "Jaccard — q79 is the exact-verify twin. The oracle derives "
+        "both sides' signatures from text in SQL, so a stale or "
+        "corrupted store breaks the hash match.",
+)
+def q81_sigstore_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    is_new = F.expr("CAST(SUBSTR(source, 4) AS INT) >= 15")
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = (sf_dir.strip("/").replace("/", "_")
+           + f"_{st.st_size}_{int(st.st_mtime)}")
+    store = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", ".scratch",
+        f"sigstore_{tag}"))
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        # one-time full scan of the historical corpus (in production:
+        # per-batch at ingest time); every later run is probe-only
+        build_signature_store(docs.filter(~is_new), "doc_id", "text",
+                              store)
+
+    pairs = probe_signature_store(
+        spark, store, docs.filter(is_new), "doc_id", "text")
+    return (
+        pairs.filter(F.col("n_agree") >= 7)
+        .groupBy("new_id")
+        .agg(F.count("*").cast("bigint").alias("n_matches"),
+             F.max("n_agree").alias("max_agree"))
     )

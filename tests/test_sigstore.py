@@ -1,0 +1,80 @@
+"""Persisted signature store (operators/sigstore.py): probe-path plan
+must never scan the historical corpus — old side reads signatures only."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.dedup import (
+    minhash_signatures,
+)
+from etl_transparencia_sergipe_spark.operators.sigstore import (
+    build_signature_store,
+    probe_signature_store,
+)
+from etl_transparencia_sergipe_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark, sf_dir, tmp_path_factory):
+    """Old and new batches as SEPARATE parquet files (the production
+    layout: history and today's ingest are different tables), plus a
+    signature store built from the old file."""
+    root = tmp_path_factory.mktemp("sigstore")
+    docs = load_table(spark, "documents", sf_dir)
+    is_new = F.expr("CAST(SUBSTR(source, 4) AS INT) >= 15")
+    old_path = str(root / "old_docs")
+    new_path = str(root / "new_docs")
+    store = str(root / "mh_store")
+    docs.filter(~is_new).write.mode("overwrite").parquet(old_path)
+    docs.filter(is_new).write.mode("overwrite").parquet(new_path)
+    build_signature_store(spark.read.parquet(old_path), "doc_id", "text",
+                          store)
+    return old_path, new_path, store
+
+
+def test_probe_plan_never_scans_old_corpus(spark, split_corpus):
+    old_path, new_path, store = split_corpus
+    new_docs = spark.read.parquet(new_path)
+    probe = probe_signature_store(spark, store, new_docs, "doc_id", "text")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the historical corpus file must not appear anywhere in the probe plan
+    assert "old_docs" not in plan
+    # the store scan must be column-pruned to ids + signature ints (no text)
+    assert "mh_store" in plan
+    for line in plan.splitlines():
+        if "mh_store" in line and "ReadSchema" in line:
+            assert "text" not in line
+
+
+def test_probe_matches_recomputed_signatures(spark, split_corpus):
+    """Store-read probe == probe against freshly computed signatures."""
+    old_path, new_path, store = split_corpus
+    new_docs = spark.read.parquet(new_path)
+    from_store = probe_signature_store(
+        spark, store, new_docs, "doc_id", "text")
+    got = {(r.old_id, r.new_id): r.n_agree for r in from_store.collect()}
+
+    old_sig = minhash_signatures(
+        spark.read.parquet(old_path), "doc_id", "text")
+    new_sig = minhash_signatures(new_docs, "doc_id", "text")
+    o = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
+         for r in old_sig.collect()}
+    nn = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
+          for r in new_sig.collect()}
+    for (oid, nid), n_agree in got.items():
+        expect = sum(a == b for a, b in zip(o[oid], nn[nid]))
+        assert n_agree == expect
+    assert len(got) > 0, "fixture corpus should produce band collisions"
+
+
+def test_store_build_is_idempotent(spark, split_corpus, tmp_path):
+    old_path, _, store = split_corpus
+    again = str(tmp_path / "store2")
+    old_docs = spark.read.parquet(old_path)
+    build_signature_store(old_docs, "doc_id", "text", again)
+    build_signature_store(old_docs, "doc_id", "text", again)  # overwrite
+    a = sorted(spark.read.parquet(store).collect())
+    b = sorted(spark.read.parquet(again).collect())
+    assert a == b
