@@ -47,7 +47,14 @@ def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 16 MB (not the 128 MB default): testdata tables arrive as one
+        # compressed file each, and a 30 MB parquet file holds 1M+ rows
+        # that fan out through exploded self-joins and session sorts — a
+        # single-partition scan leaves 31 of 32 cores idle for the whole
+        # first stage (q52 partial agg measured 2.6x faster split 6 ways).
+        # On a real cluster the input is many files/blocks and this only
+        # splits files that are genuinely dense.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         # local-literal frames (createDataFrame/range) default to 1024
         # partitions in this build — cap at core count so tiny dimension
         # frames don't fan into thousands of no-op tasks

@@ -34,7 +34,9 @@ def main() -> None:
     timings = {}
     for n in names:
         t0 = time.perf_counter()
-        con.execute(oracles[n]).fetchall()
+        # .arrow(): same columnar client-materialization path as the
+        # Spark bench's toArrow() — see bench.py methodology note
+        con.execute(oracles[n]).arrow()
         timings[n] = round(time.perf_counter() - t0, 3)
     print(json.dumps({
         "metric": "duckdb_oracle_total",

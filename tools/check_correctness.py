@@ -78,6 +78,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = build(spark, sf_dir).toPandas()
+            spark.catalog.clearCache()  # bound accumulated persists
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
