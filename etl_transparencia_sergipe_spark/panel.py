@@ -55,18 +55,27 @@ class _TaskProgressPoller(threading.Thread):
 
     def run(self) -> None:
         tracker = self._sc.statusTracker()
+        # per-job last-seen (done, total): a multi-job write would make
+        # the fraction jump backwards if we only summed ACTIVE jobs —
+        # finished jobs drop out of getActiveJobsIds, so keep their final
+        # snapshot and report cumulative progress across all jobs seen
+        jobs: dict[int, tuple[int, int]] = {}
         while not self._halt.is_set():
-            done = total = 0
             for jid in tracker.getActiveJobsIds():
                 jinfo = tracker.getJobInfo(jid)
                 if jinfo is None:
                     continue
+                done = total = 0
                 for sid in jinfo.stageIds:
                     sinfo = tracker.getStageInfo(sid)
                     if sinfo is None:
                         continue
                     total += sinfo.numTasks
                     done += sinfo.numCompletedTasks
+                if total:
+                    jobs[jid] = (done, total)
+            done = sum(d for d, _ in jobs.values())
+            total = sum(t for _, t in jobs.values())
             if total:
                 frac = min(done / total, 0.99)
                 elapsed = time.time() - self._t0
@@ -74,10 +83,14 @@ class _TaskProgressPoller(threading.Thread):
                 self._cb(frac, f"{done}/{total} tasks", eta)
             self._halt.wait(self._interval)
 
-    def finish(self) -> None:
+    def finish(self, success: bool = True) -> None:
+        """Stop polling; only a SUCCESSFUL run reports the final 100%
+        bar — on failure the last real fraction stays on screen and the
+        exception surfaces to the caller."""
         self._halt.set()
         self.join(timeout=5)
-        self._cb(1.0, "done", 0.0)
+        if success:
+            self._cb(1.0, "done", 0.0)
 
 
 def run_with_progress(spark: SparkSession, cfg: JobConfig, out_path: str,
@@ -106,15 +119,25 @@ def run_with_progress(spark: SparkSession, cfg: JobConfig, out_path: str,
     df, obs = observed(df, "panel")
     poller = _TaskProgressPoller(spark, progress_cb)
     poller.start()
+    ok = False
     try:
         write_partitioned(df, out_path)
+        ok = True
     finally:
-        poller.finish()
+        poller.finish(success=ok)
     progress_cb(1.0, f"{obs.get['n_rows']} rows written", 0.0)
 
+    # write_partitioned uses DYNAMIC partition overwrite, so partitions
+    # from earlier runs with a different grid (other cidades/anos/meses)
+    # survive on disk — restrict the read-back to THIS run's grid so the
+    # result table reports only the run just launched (the reference
+    # panel tabulates its own run, interface.py:180-199)
+    read = spark.read.parquet(out_path).filter(
+        F.col("cidade").isin(cidades) & F.col("ano").isin(cfg.anos))
+    if cfg.meses:
+        read = read.filter(F.col("mes").isin(cfg.meses))
     return (
-        spark.read.parquet(out_path)
-        .groupBy("cidade", "ano", "mes")
+        read.groupBy("cidade", "ano", "mes")
         .agg(F.count("*").alias("n_rows"),
              F.sum(F.col("pago_dec").cast("decimal(18,2)")).cast("double")
              .alias("total_pago"))
@@ -161,8 +184,17 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def streamlit_app() -> None:  # pragma: no cover - needs streamlit
-    """Widget layer (interface.py:40-209 parity). Run with:
-    ``streamlit run -- -m etl_transparencia_sergipe_spark.panel``.
+    """Widget layer (interface.py:40-209 parity).
+
+    ``streamlit run`` takes a script path (not ``-m``), so launch via a
+    two-line wrapper script::
+
+        # panel_app.py
+        from etl_transparencia_sergipe_spark.panel import streamlit_app
+        streamlit_app()
+
+        python -m streamlit run panel_app.py
+
     Raises ImportError where streamlit is not installed (this container)."""
     import streamlit as st
 

@@ -61,6 +61,13 @@ def test_cli_renders_table(spark, tmpdir, capsys):
 
 
 def test_streamlit_layer_is_import_gated():
+    try:
+        import streamlit  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        pytest.skip("streamlit installed — the import gate has nothing "
+                    "to prove here")
     with pytest.raises(ImportError):
         from etl_transparencia_sergipe_spark.panel import streamlit_app
         streamlit_app()
