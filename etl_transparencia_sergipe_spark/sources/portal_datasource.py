@@ -58,6 +58,10 @@ class PortalReader(DataSourceReader):
         # fetcher stops requesting pages once max_rows rows were yielded.
         self.max_rows = int(options["max_rows"]) if "max_rows" in options \
             else None
+        # html_base: fetch real markup (file:// fixtures or a live portal
+        # mirror) through sources/html_scraper.py instead of the synthetic
+        # generator — same row schema, same partition planning
+        self.html_base = options.get("html_base")
 
     def pushFilters(self, filters):
         """Equality, ``In``, and range filters on (cidade, ano, mes) prune
@@ -122,7 +126,12 @@ class PortalReader(DataSourceReader):
             "ano": [partition.ano],
             "mes": [partition.mes],
         })
-        rows = synthetic_fetch(tasks)
+        if self.html_base:
+            from etl_transparencia_sergipe_spark.sources.html_scraper \
+                import html_fetch
+            rows = html_fetch(self.html_base)(tasks)
+        else:
+            rows = synthetic_fetch(tasks)
         if self.max_rows is not None:
             # a real fetcher would stop paginating here instead of slicing
             rows = rows.head(self.max_rows)
