@@ -84,9 +84,24 @@ def drain(df, name: str, mode: str) -> tuple[float, int]:
     return sec, rows
 
 
+_PROVIDERS = {
+    # default HDFS-backed in-memory map + snapshot files
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    # RocksDB: state lives off-heap on local disk — commit cost stays
+    # bounded when keyed state outgrows executor memory (the 100 TB
+    # posture for stream-stream joins / wide session state)
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench-streaming")
+    provider = sys.argv[1] if len(sys.argv) > 1 else "hdfs"
+    spark = get_spark("bench-streaming", extra_conf={
+        "spark.sql.streaming.stateStore.providerClass":
+            _PROVIDERS[provider]})
     shard_dir, n_events = shard_events(spark, sf_dir)
 
     scenarios = {
@@ -116,7 +131,7 @@ def main() -> None:
 
     print(json.dumps({
         "n_events": n_events, "sf_dir": sf_dir, "n_microbatches": N_SHARDS,
-        "scenarios": out,
+        "state_store": provider, "scenarios": out,
     }))
 
 
