@@ -309,7 +309,13 @@ def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"))
         .withColumn("g", F.expr("substring(p_name, CAST(pos AS INT), 3)"))
     )
-    x, y = g.alias("x"), g.alias("y")
+    # shuffle_hash: Catalyst's size estimate of the exploded gram frame
+    # undershoots and it broadcasts a 1.7M-row relation — a single-
+    # threaded driver-side build measured as ~4 of q35's 5 bench seconds
+    # at sf1; a co-partitioned shuffle-hash join builds in parallel and
+    # is the right strategy when both sides are fan-outs of the same
+    # large table
+    x, y = g.alias("x"), g.hint("shuffle_hash").alias("y")
     cand = (
         x.join(y, (F.col("x.p_brand") == F.col("y.p_brand"))
                & (F.col("x.p_size") == F.col("y.p_size"))
@@ -322,17 +328,21 @@ def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("y.p_partkey").alias("id_b"),
                 F.col("x.p_name").alias("name_a"),
                 F.col("y.p_name").alias("name_b"))
-        # plain distinct over all four columns (names are functionally
-        # determined by the ids) stays in whole-stage HashAggregate;
-        # dropDuplicates([id_a, id_b]) would plan first() aggregates that
-        # fall back to SortAggregate — measured 5x slower at sf1
+        # verify BEFORE the distinct: levenshtein on the (multiplicity-
+        # inflated) join output is cheap codegen work, and the dist<=4
+        # filter shrinks the distinct's exchange from every candidate
+        # occurrence to true-pair occurrences only. Plain distinct over
+        # all columns (names/dist are functionally determined by the
+        # ids) stays in whole-stage HashAggregate; dropDuplicates(subset)
+        # would plan first() aggregates that fall back to SortAggregate —
+        # measured 5x slower at sf1.
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter((F.col("dist") <= 4) & (F.col("name_a") != F.col("name_b")))
         .distinct()
     )
     return (
-        cand.withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("bigint"))
-        .filter((F.col("dist") <= 4) & (F.col("name_a") != F.col("name_b")))
-        .orderBy(F.asc("dist"), F.asc("id_a"), F.asc("id_b"))
+        cand.orderBy(F.asc("dist"), F.asc("id_a"), F.asc("id_b"))
         .limit(25)
     )
 

@@ -790,3 +790,125 @@ def q76_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct(F.when(F.col("grp_n") > 1, F.col("ph")))
              .cast("bigint").alias("n_dup_groups"))
     )
+
+
+_DUPFRAC_N = 8  # shingle width for the duplicate-text-fraction metric
+
+from etl_transparencia_sergipe_spark.operators.dedup import (  # noqa: E402
+    shingles_duck,
+)
+
+
+@register(
+    "q82_dup_text_fraction",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest({{sh}}) AS s
+        FROM documents
+    ), counts AS (
+        SELECT s, COUNT(DISTINCT doc_id) AS n_docs_with
+        FROM sh GROUP BY s
+    ), per_doc AS (
+        SELECT sh.doc_id, ANY_VALUE(sh.source) AS source,
+               COUNT(DISTINCT sh.s) AS n_shingles,
+               COUNT(DISTINCT CASE WHEN c.n_docs_with > 1 THEN sh.s END)
+                   AS n_dup_shingles
+        FROM sh JOIN counts c ON sh.s = c.s
+        GROUP BY sh.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_dup_shingles) AS BIGINT) AS total_dup_shingles,
+           CAST(SUM(CASE WHEN 2 * n_dup_shingles > n_shingles
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_majority_duplicated
+    FROM per_doc GROUP BY source
+    """.format(sh=shingles_duck("text", _DUPFRAC_N)),
+    doc="F16/P10 duplicate-text-fraction curation metric (the RefinedWeb/"
+        "CCNet 'fraction of a document's n-grams seen elsewhere in the "
+        "corpus' filter): every doc's DISTINCT 8-gram shingles are "
+        "counted corpus-wide; a doc whose majority of shingles appear in "
+        "other docs is flagged. Unlike the pairwise dedup tiers "
+        "(q31-q33), this is a GLOBAL containment measure — it catches "
+        "mosaic duplication (a doc stitched from fragments of many "
+        "others) that no pairwise Jaccard threshold sees. Shuffle shape "
+        "at 100 TB: one token-stream shuffle to count shingle "
+        "occurrences, one shuffle joining counts back to the doc's "
+        "shingles — the same vocab-shaped exchanges as q53/q76; "
+        "integer-exact so the oracle hash is bit-stable [EXT].",
+)
+def q82_dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.dedup import shingle_rows
+
+    docs = load(spark, "documents", sf_dir)
+    # distinct (doc, shingle) rows via the codegen shingler (may emit
+    # within-doc duplicates -> explicit distinct, matching the oracle's
+    # COUNT(DISTINCT ...) semantics)
+    sh = (shingle_rows(docs, "doc_id", "text", _DUPFRAC_N)
+          .distinct())
+    counts = sh.groupBy("s").agg(
+        F.count("*").alias("n_docs_with"))  # rows are distinct per doc
+    src = docs.select("doc_id", "source")
+    per_doc = (
+        sh.join(counts, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+             .alias("n_dup_shingles"))
+        .join(src, "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+        F.sum("n_dup_shingles").cast("bigint").alias("total_dup_shingles"),
+        F.sum(F.when(2 * F.col("n_dup_shingles") > F.col("n_shingles"), 1)
+              .otherwise(0)).cast("bigint")
+        .alias("docs_majority_duplicated"),
+    )
+
+
+@register(
+    "q83_source_overlap",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   (string_split_regex(lower(trim(text)), '\\s+'))[1:12],
+                   ' ')) AS th
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_texts
+    FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY shared_texts DESC, source_a ASC, source_b ASC
+    LIMIT 25
+    """,
+    doc="P9/J6 cross-source overlap matrix (dataset-lineage /"
+        " contamination audit): for every source pair, how many content "
+        "fingerprints (md5 of the normalized 12-token prefix — the same "
+        "head-fingerprint family as q76, which catches retitled/"
+        "re-suffixed copies exact equality misses) they share. "
+        "Distinct-per-source first so multiplicity inside one source "
+        "doesn't inflate the overlap; the self-join keys on the "
+        "fixed-width digest, so shuffle ~ n_distinct_fingerprints, "
+        "never the text bytes [EXT].",
+)
+def q83_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    h = docs.selectExpr(
+        "source",
+        "md5(array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 12), "
+        "' ')) AS th").distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, (F.col("a.th") == F.col("b.th"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_texts"))
+        .orderBy(F.desc("shared_texts"), F.asc("source_a"),
+                 F.asc("source_b"))
+        .limit(25)
+    )
