@@ -166,9 +166,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # materialization the whole shingle+md5+k-min computation re-executes
     # per branch. MEMORY_AND_DISK spills instead of OOMing — at 100 TB
     # signatures are persisted (or written) for exactly this reason.
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sig.transform(persist_scoped)
 
     band_structs = ", ".join(
         f"struct({b} AS band_id, {h60_spark(_band_key([f'mh{b * r + j}' for j in range(r)]))} AS band_hash)"
@@ -337,9 +337,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     fp = bit_sums.selectExpr("doc_id", f"({fp_expr}) AS fp")
     # persist: fp feeds both self-join sides through the band explode
     # (see minhash_lsh_pairs for the materialization rationale)
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    fp = fp.transform(persist_scoped)
     band_structs = ", ".join(
         f"struct({b} AS band_id, (shiftright(fp, {8 * b}) % 256) AS band_val)"
         for b in range(4)

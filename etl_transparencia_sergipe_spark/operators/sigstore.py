@@ -67,11 +67,11 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     in this plan is the new batch's — tests/test_sigstore.py asserts
     that property on the physical plan).
     """
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     old_sig = spark.read.parquet(store_path)
     new_sig = (minhash_signatures(new_docs, id_col, text_col, k=k, n=n)
-               .persist(StorageLevel.MEMORY_AND_DISK))
+               .transform(persist_scoped))
 
     x = _banded(old_sig, k, bands).alias("x")
     y = _banded(new_sig, k, bands).alias("y")

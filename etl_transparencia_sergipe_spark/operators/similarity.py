@@ -272,9 +272,9 @@ def lsh_topk(corpus: DataFrame, k: int = 5, n_planes: int = 8,
         f"({query_pred}) AS is_query")
     # persist: both join sides derive from this frame; materialize so the
     # n_planes dot products compute once per vector (see dedup.py)
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
-    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    marked = marked.transform(persist_scoped)
     bucketed = marked.select("neighbor_id", "cv", "bucket")
     q = marked.filter("is_query") \
         .selectExpr("neighbor_id AS query_id", "cv AS qv", "bucket")
@@ -358,13 +358,13 @@ def ivf_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
 
     Returns DataFrame[query_id, neighbor_id, rank, cos] (no self-pairs).
     """
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     # persist the (tiny) centroid frame: its TakeOrdered corpus scan
     # otherwise re-executes for each of the two broadcast consumers below
     cent = (corpus.orderBy(id_col).limit(n_cells)
             .selectExpr(f"{id_col} AS cell", f"{vec_col} AS cvec")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .transform(persist_scoped))
     return _ivf_cell_search(corpus, cent, k=k, nprobe=nprobe,
                             id_col=id_col, vec_col=vec_col,
                             query_pred=query_pred)
@@ -419,7 +419,7 @@ def _ivf_cell_search(corpus: DataFrame, cent: DataFrame, k: int,
     """Shared IVF search: assign each vector to its nearest centroid cell,
     probe the nprobe nearest cells per query, exact-rank the candidates.
     ``cent`` is DataFrame[cell, cvec] (tiny, broadcast)."""
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     base = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
@@ -431,7 +431,7 @@ def _ivf_cell_search(corpus: DataFrame, cent: DataFrame, k: int,
     # (queries are corpus rows, so their centroid distances are already
     # here — recomputing them via a second cross join would double the
     # coarse-quantizer pass)
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    scored = scored.transform(persist_scoped)
     # argmin via min(struct): (d, cell) is unique per row, so the min
     # brings along its row's cv/is_query; partial aggregation collapses
     # the C candidate rows per vector map-side.

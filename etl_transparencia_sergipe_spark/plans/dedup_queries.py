@@ -188,7 +188,7 @@ def _q33_mh_duck(i: int) -> str:
         "verify candidates — no full-corpus higher-order lambdas remain.",
 )
 def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     from etl_transparencia_sergipe_spark.operators.dedup import shingle_rows
 
@@ -205,7 +205,7 @@ def q33_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = (
         docs.selectExpr("doc_id", "lang", "n_chars div 100 AS len_band")
         .join(keys, "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
+        .transform(persist_scoped)  # feeds both self-join sides
     )
     perm_structs = ", ".join(
         f"struct({i} AS perm_id, mh{i} AS mh)" for i in range(_Q33_PERMS))
@@ -413,7 +413,7 @@ _Q79_BANDS = "\n            UNION ALL ".join(
         "new batch's buckets.",
 )
 def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     from etl_transparencia_sergipe_spark.operators.dedup import (
         jaccard_verify_pairs,
@@ -429,7 +429,7 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.expr(f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE}"))
         .alias(f"mh{i}")
         for i in range(16)
-    ]).join(sides, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    ]).join(sides, "doc_id").transform(persist_scoped)
     band_structs = ", ".join(
         "struct({b} AS band_id, {h} AS band_hash)".format(
             b=b,

@@ -912,3 +912,208 @@ def q83_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.asc("source_b"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation extensions: chunk-store dedup, tf-idf, quality scorer
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16
+
+
+@register(
+    "q84_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, {{toks}} AS toks FROM documents
+    ), ch AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   toks[(i * {_CHUNK_TOKENS} + 1):
+                        ((i + 1) * {_CHUNK_TOKENS})], ' ')) AS fp
+        FROM tok,
+             UNNEST(generate_series(
+                 0, CAST((len(toks) - 1) // {_CHUNK_TOKENS} AS INT))) AS t(i)
+    ), occ AS (
+        SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs_with
+        FROM ch GROUP BY fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT ch.fp) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_doc_dup_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_occurrences
+    FROM ch JOIN occ USING (fp)
+    GROUP BY source
+    """.format(toks=tokens_duck("text")),
+    doc="P9/F16 aligned chunk-store dedup: each doc is cut into "
+        f"consecutive {_CHUNK_TOKENS}-token chunks (the RAG/context-"
+        "store granularity — cf. q57's cross-doc packing, which is the "
+        "inverse operation) and each chunk gets an md5 fingerprint; "
+        "chunks seen in more than one doc are exact duplicates a "
+        "chunk-level store would serve once. Complements q82: q82 "
+        "measures ALL-position 8-gram containment, this measures "
+        "ALIGNED-block identity, the unit a dedup'd chunk store "
+        "actually stores. Shuffle shape at 100 TB: fingerprints are "
+        "fixed-width digests, so both exchanges (occurrence count + "
+        "count-back join) carry ~n_chunks x 32 bytes, never text; the "
+        "join keys both sides on fp so Catalyst co-partitions them "
+        "[EXT].",
+)
+def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    c = _CHUNK_TOKENS
+    ch = docs.selectExpr(
+        "doc_id", "source",
+        f"explode(transform(sequence(0, (size({tokens_spark('text')}) - 1) "
+        f"div {c}), i -> md5(array_join(slice({tokens_spark('text')}, "
+        f"i * {c} + 1, {c}), ' ')))) AS fp")
+    occ = ch.groupBy("fp").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs_with"))
+    return (
+        ch.join(occ, "fp")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_chunks"),
+             F.countDistinct("fp").cast("bigint").alias("n_distinct_chunks"),
+             F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_cross_doc_dup_chunks"),
+             F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_dup_occurrences"))
+    )
+
+
+@register(
+    "q85_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({{toks}}) AS t FROM documents
+    ), df AS (
+        SELECT t, COUNT(DISTINCT doc_id) AS n_df FROM tok GROUP BY t
+    ), tf AS (
+        SELECT source, t, COUNT(*) AS n_tf FROM tok GROUP BY source, t
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT source, t AS term, n_tf, n_df,
+               ROUND(n_tf * ((n.n_docs + 1.0) / (n_df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (t) CROSS JOIN n
+    )
+    SELECT source, term, CAST(n_tf AS BIGINT) AS n_tf,
+           CAST(n_df AS BIGINT) AS n_df, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term ASC) <= 5
+    ORDER BY source ASC, tfidf DESC, term ASC
+    """.format(toks=tokens_duck("text")),
+    doc="F16 per-source tf-idf salient terms (top-5): term frequency per "
+        "source weighted by inverse document frequency over the corpus. "
+        "idf is the RAW rational (N+1)/(df+1), NOT log-scaled: ln() is "
+        "not correctly-rounded IEEE and differs between libm and the "
+        "JVM in the last ulp, while +,*,/ are correctly rounded, so the "
+        "raw form is bit-identical across engines (same monotone "
+        "ranking; the module's cross-engine float rule). Shuffle shape "
+        "at 100 TB: token-stream shuffles for tf and df (vocab-sized "
+        "results), a broadcast of the 1-row corpus count, and a "
+        "vocab-sized df-to-tf join — text bytes never shuffle [EXT].",
+)
+def q85_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.selectExpr(
+        "doc_id", "source", f"explode({tokens_spark('text')}) AS t")
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("n_df"))
+    tf = tok.groupBy("source", "t").agg(F.count("*").alias("n_tf"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "t").crossJoin(F.broadcast(n))
+        .select(
+            "source", F.col("t").alias("term"),
+            F.col("n_tf").cast("bigint").alias("n_tf"),
+            F.col("n_df").cast("bigint").alias("n_df"),
+            F.round(F.col("n_tf") * ((F.col("n_docs") + F.lit(1.0))
+                                     / (F.col("n_df") + F.lit(1.0))), 6)
+            .alias("tfidf"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5").drop("rn")
+        .orderBy(F.asc("source"), F.desc("tfidf"), F.asc("term"))
+    )
+
+
+_QL_STOPS = "'the', 'a', 'of', 'and', 'to'"
+
+
+@register(
+    "q86_quality_logistic",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               len({{toks}}) AS n_tok,
+               length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                   AS n_word_chars,
+               len(list_filter({{toks}}, x -> x IN ({_QL_STOPS})))
+                   AS n_stop
+        FROM documents
+    ), z AS (
+        SELECT source,
+               -2.0 + 0.03 * n_tok
+                    + 4.0 * (CAST(n_stop AS DOUBLE) / n_tok)
+                    - 0.5 * abs(CAST(n_word_chars AS DOUBLE) / n_tok - 5.0)
+                   AS z
+        FROM feat
+    ), s AS (
+        SELECT source, 0.5 + z / (2.0 * (1.0 + abs(z))) AS score FROM z
+    )
+    SELECT source,
+           CAST(floor(score * 5) AS BIGINT) AS score_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_score
+    FROM s GROUP BY source, score_band
+    """.format(toks=tokens_duck("text")),
+    doc="F16 linear quality classifier (the fasttext-style pretraining "
+        "keep/drop gate, deterministic weights): per-doc features "
+        "(token count, stopword fraction, mean word length) -> linear "
+        "score -> the algebraic sigmoid 0.5 + z/(2(1+|z|)) instead of "
+        "1/(1+exp(-z)) — exp() is not correctly-rounded IEEE so its "
+        "last-ulp differences between libm and the JVM could flip a "
+        "floor(score*5) band, while the algebraic form uses only "
+        "correctly-rounded ops and is bit-identical across engines "
+        "(same monotone S-shape, same 0.5 decision point at z=0). "
+        "Output: per (source, score band) doc counts, kept count at "
+        "the 0.5 threshold, exact-decimal mean score. Pure map + one "
+        "hash-agg — at 100 TB this is a single pass with map-side "
+        "partial aggregation and no joins [EXT].",
+)
+def q86_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    toks = tokens_spark("text")
+    feat = docs.selectExpr(
+        "source",
+        f"size({toks}) AS n_tok",
+        "length(regexp_replace(trim(text), '\\\\s+', '')) AS n_word_chars",
+        f"size(filter({toks}, x -> x IN ({_QL_STOPS}))) AS n_stop")
+    z = feat.selectExpr(
+        "source",
+        "-2.0D + 0.03D * n_tok"
+        " + 4.0D * (CAST(n_stop AS DOUBLE) / n_tok)"
+        " - 0.5D * abs(CAST(n_word_chars AS DOUBLE) / n_tok - 5.0D) AS z")
+    s = z.selectExpr("source", "0.5D + z / (2.0D * (1.0D + abs(z))) AS score")
+    return (
+        s.groupBy("source",
+                  F.floor(F.col("score") * 5).cast("bigint")
+                  .alias("score_band"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+             .cast("bigint").alias("n_kept"),
+             (F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+              / F.count("*")).alias("avg_score"))
+    )
