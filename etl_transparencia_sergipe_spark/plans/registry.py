@@ -76,6 +76,12 @@ _LOADED = False
 # gate (CORRECTNESS_LOCAL.md). q35 and q52 stay in the window because
 # their plans change this round (VERDICT items 2 and 4) and the driver
 # must certify the change.
+#
+# Round-4 additions (q81-q86 — sigstore probe, dup-text fraction, source
+# overlap, chunk dedup, tf-idf, quality logistic) also enter the window
+# so they are driver-certified the round they ship, displacing 6 more
+# double-certified unchanged stalwarts (q49, q53, q56, q59, q60, q61);
+# all six remain hash-verified in the local gate every round.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q10_running_monthly_revenue",
@@ -91,11 +97,9 @@ HEADLINE_50: tuple[str, ...] = (
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
     "q45_lsh_multiprobe", "q46_ivf_ann_topk",
     "q48_grouping_sets",
-    "q49_winnowing_fingerprints",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
-    "q53_vocab_topk", "q54_hash_split_stratified",
-    "q56_iqr_outliers", "q57_pack_chunks", "q59_sentence_stats",
-    "q60_scaler_stats", "q61_correlation_pairs",
+    "q54_hash_split_stratified",
+    "q57_pack_chunks",
     "q64_decontamination", "q65_domain_mixture", "q66_repetition_ratio",
     "q67_corr_series", "q68_mixture_sample", "q69_embedding_dim_stats",
     "q70_multimodal_metadata",
@@ -103,6 +107,8 @@ HEADLINE_50: tuple[str, ...] = (
     "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
     "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
     "q79_incremental_dedup", "q80_token_budget_sample",
+    "q81_sigstore_probe", "q82_dup_text_fraction", "q83_source_overlap",
+    "q84_chunk_dedup", "q85_tfidf_topk", "q86_quality_logistic",
 )
 
 

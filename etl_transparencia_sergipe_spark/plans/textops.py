@@ -1009,7 +1009,10 @@ def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source ASC, tfidf DESC, term ASC
     """.format(toks=tokens_duck("text")),
     doc="F16 per-source tf-idf salient terms (top-5): term frequency per "
-        "source weighted by inverse document frequency over the corpus. "
+        "source weighted by inverse document frequency over the corpus — "
+        "the hash-verified twin of q29's Spark-ML HashingTF pipeline "
+        "(rows-only by contract; this exact formulation closes that "
+        "family's oracle gap). "
         "idf is the RAW rational (N+1)/(df+1), NOT log-scaled: ln() is "
         "not correctly-rounded IEEE and differs between libm and the "
         "JVM in the last ulp, while +,*,/ are correctly rounded, so the "

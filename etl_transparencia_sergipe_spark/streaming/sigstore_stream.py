@@ -1,0 +1,123 @@
+"""Streaming ingestion dedup against the persisted signature store.
+
+The batch story (operators/sigstore.py) is: signatures live in a parquet
+store; a new batch is LSH-probed against the STORE, never against
+historical text. This module is its Structured Streaming twin — the
+continuous-ingestion posture a production corpus pipeline runs 24/7:
+
+    documents file stream
+        -> foreachBatch:
+             1. probe the micro-batch against the signature store
+                (flags = suspected near-dups of ANYTHING ingested before)
+             2. append the micro-batch's own signatures to the store,
+                partitioned by ingest batch id (idempotent on retry:
+                dynamic partition overwrite of THIS batch's partition)
+             3. append the flagged pairs to the flags table
+
+Reference parity: the reference's incremental month-skip ("already
+scraped?" check against what exists on disk —
+``src/utils/file_utils.py:57``) is a presence test against persisted
+state; this is the same state-on-storage posture with content
+signatures instead of file names.
+
+Scale shape at 100 TB: per micro-batch the plan scans the batch's text
+ONCE for signatures, reads the store column-pruned (doc_id + k ints),
+and the band join shuffles ~(store bands + batch bands) fixed-width
+rows. State between batches lives in parquet, not in executor memory —
+the stream restarts from the checkpoint with zero state rebuild, and
+the store doubles as the batch path's input (one store serves both).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.dedup import (
+    minhash_signatures,
+)
+from etl_transparencia_sergipe_spark.operators.sigstore import (
+    probe_signature_store,
+)
+
+
+def documents_stream(spark: SparkSession, docs_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """documents-shaped parquet dir as a file stream (one file per
+    micro-batch by default — each file is an ingest 'lote')."""
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def sigstore_ingest_sink(store_path: str, flags_path: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 16, bands: int = 4, n: int = 3,
+                         min_agree: int = 8):
+    """foreachBatch sink: probe-then-append incremental dedup.
+
+    Emits to ``flags_path`` rows [old_id, new_id, n_agree, batch_id] for
+    every store x batch band collision with ``n_agree >= min_agree``
+    (n_agree/k estimates Jaccard; 8/16 ~ the 0.5 near-dup bar). Then
+    appends the batch's signatures to ``store_path`` under
+    ``ingest_batch=<epoch>`` so a replayed epoch overwrites its own
+    partition instead of duplicating rows (idempotent retry — the same
+    guarantee the reference gets from whole-month CSV overwrite).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n)
+
+        if os.path.isdir(store_path) and any(
+                not e.startswith(("_", ".")) for e in os.listdir(store_path)):
+            flags = (
+                probe_signature_store(spark, store_path, batch_df,
+                                      id_col, text_col, k=k, bands=bands, n=n)
+                .filter(F.col("n_agree") >= min_agree)
+                .withColumn("batch_id", F.lit(int(epoch_id)))
+            )
+            flags.write.mode("append").parquet(flags_path)
+
+        # partition-scoped overwrite: replaying epoch N rewrites only
+        # ingest_batch=N (requires dynamic partitionOverwriteMode, set by
+        # the session default or here per-write)
+        (
+            sig.withColumn("ingest_batch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store_path)
+        )
+
+    return write_batch
+
+
+def run_ingest_dedup(spark: SparkSession, docs_dir: str, store_path: str,
+                     flags_path: str, checkpoint_dir: str,
+                     max_files_per_trigger: int = 1,
+                     min_agree: int = 8):
+    """Drive the ingestion-dedup stream to completion (availableNow).
+
+    Returns the finished query handle; the signature store and flags
+    table are on disk afterwards — the store is directly probe-able by
+    the batch path (operators/sigstore.probe_signature_store reads it
+    modulo the ingest_batch partition column, which Spark prunes away
+    on the mh* column selection).
+    """
+    stream = documents_stream(spark, docs_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream
+        .foreachBatch(sigstore_ingest_sink(store_path, flags_path,
+                                           min_agree=min_agree))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,121 @@
+"""Streaming ingestion dedup (streaming/sigstore_stream.py).
+
+Covers: batched file-stream ingest probing the persisted signature
+store, store growth per batch, cross-batch-only flagging, equivalence
+with the batch-built store, and idempotent epoch replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_transparencia_sergipe_spark.operators.sigstore import (
+    build_signature_store,
+    probe_signature_store,
+)
+from etl_transparencia_sergipe_spark.streaming.sigstore_stream import (
+    run_ingest_dedup,
+    sigstore_ingest_sink,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_batches(spark, tmp_path_factory):
+    """documents split into 3 single-file ingest batches by doc_id."""
+    base = tmp_path_factory.mktemp("doc_stream")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n = docs.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        (docs.filter(f"doc_id >= {cuts[i]} AND doc_id < {cuts[i + 1]}")
+         .coalesce(1).write.parquet(str(base / f"b{i}.parquet")))
+        # flatten: move the part file up so the dir is 3 parquet FILES
+        part_dir = base / f"b{i}.parquet"
+        part = next(p for p in part_dir.iterdir()
+                    if p.name.endswith(".parquet"))
+        part.rename(base / f"batch{i}.parquet")
+        import shutil
+
+        shutil.rmtree(part_dir)
+    return str(base), n
+
+
+def _run(spark, docs_dir, tmp, tag):
+    store = str(tmp / f"store_{tag}")
+    flags = str(tmp / f"flags_{tag}")
+    ckpt = str(tmp / f"ckpt_{tag}")
+    run_ingest_dedup(spark, docs_dir, store, flags, ckpt,
+                     max_files_per_trigger=1, min_agree=8)
+    return store, flags
+
+
+def test_stream_ingest_builds_full_store(spark, docs_batches, tmp_path):
+    docs_dir, n = docs_batches
+    store, _ = _run(spark, docs_dir, tmp_path, "full")
+    sig = spark.read.parquet(store)
+    assert sig.count() == n
+    # one partition per micro-batch (3 files -> 3 epochs)
+    assert sig.select("ingest_batch").distinct().count() == 3
+
+
+def test_stream_flags_are_cross_batch_only(spark, docs_batches, tmp_path):
+    docs_dir, _ = docs_batches
+    store, flags = _run(spark, docs_dir, tmp_path, "flags")
+    sig = spark.read.parquet(store)
+    fl = spark.read.parquet(flags)
+    if fl.count() == 0:
+        pytest.skip("no near-dup pairs at this sf")
+    # a flagged old_id must come from an earlier ingest batch than new_id
+    batches = sig.selectExpr("doc_id", "ingest_batch")
+    joined = (
+        fl.join(batches.selectExpr("doc_id AS old_id",
+                                   "ingest_batch AS old_b"), "old_id")
+        .join(batches.selectExpr("doc_id AS new_id",
+                                 "ingest_batch AS new_b"), "new_id")
+    )
+    assert joined.filter("old_b >= new_b").count() == 0
+
+
+def test_stream_store_matches_batch_store(spark, docs_batches, tmp_path):
+    docs_dir, _ = docs_batches
+    store, _ = _run(spark, docs_dir, tmp_path, "eq")
+    batch_store = str(tmp_path / "store_batch")
+    docs = spark.read.parquet(docs_dir)
+    build_signature_store(docs, "doc_id", "text", batch_store)
+    a = spark.read.parquet(store).drop("ingest_batch")
+    b = spark.read.parquet(batch_store)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_store_is_probeable_by_batch_path(spark, docs_batches,
+                                                 tmp_path):
+    docs_dir, _ = docs_batches
+    store, _ = _run(spark, docs_dir, tmp_path, "probe")
+    probe_docs = spark.read.parquet(docs_dir).limit(5)
+    out = probe_signature_store(spark, store, probe_docs, "doc_id", "text")
+    # every probe doc collides with (at least) itself already in the store
+    hits = out.filter("old_id = new_id").select("old_id").distinct().count()
+    assert hits == 5
+    # self-pairs agree on all 16 components
+    assert out.filter("old_id = new_id AND n_agree <> 16").count() == 0
+
+
+def test_epoch_replay_is_idempotent(spark, docs_batches, tmp_path):
+    docs_dir, _ = docs_batches
+    store, flags = _run(spark, docs_dir, tmp_path, "replay")
+    sig_before = spark.read.parquet(store)
+    n_before = sig_before.count()
+    # replay one batch file through the sink under ITS original epoch id
+    # (simulated retry after a sink failure)
+    batch2 = spark.read.parquet(os.path.join(docs_dir, "batch2.parquet"))
+    some_id = batch2.select("doc_id").first()[0]
+    epoch = (sig_before.filter(f"doc_id = {some_id}")
+             .select("ingest_batch").first()[0])
+    sink = sigstore_ingest_sink(store, str(tmp_path / "flags_replay2"))
+    sink(batch2, int(epoch))
+    assert spark.read.parquet(store).count() == n_before
