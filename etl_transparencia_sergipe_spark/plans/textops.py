@@ -839,6 +839,8 @@ from etl_transparencia_sergipe_spark.operators.dedup import (  # noqa: E402
         "integer-exact so the oracle hash is bit-stable [EXT].",
 )
 def q82_dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     from etl_transparencia_sergipe_spark.operators.dedup import shingle_rows
 
     docs = load(spark, "documents", sf_dir)
@@ -847,16 +849,19 @@ def q82_dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNT(DISTINCT ...) semantics)
     sh = (shingle_rows(docs, "doc_id", "text", _DUPFRAC_N)
           .distinct())
-    counts = sh.groupBy("s").agg(
-        F.count("*").alias("n_docs_with"))  # rows are distinct per doc
-    src = docs.select("doc_id", "source")
+    # count-over-window instead of groupBy(s)+join-back: rows are unique
+    # per (doc, s), so COUNT(*) OVER (PARTITION BY s) IS n_docs_with —
+    # single text scan, no self-join, no broadcast of an unbounded
+    # shingle-count frame (the join formulation re-computed the whole
+    # shingle stream on both branches: 2 scans -> 1)
+    sh2 = sh.withColumn(
+        "n_docs_with", F.count("*").over(W.partitionBy("s")))
     per_doc = (
-        sh.join(counts, "s")
-        .groupBy("doc_id")
+        sh2.groupBy("doc_id")
         .agg(F.count("*").alias("n_shingles"),
              F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
              .alias("n_dup_shingles"))
-        .join(src, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
     )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -963,6 +968,8 @@ _CHUNK_TOKENS = 16
         "[EXT].",
 )
 def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load(spark, "documents", sf_dir)
     c = _CHUNK_TOKENS
     ch = docs.selectExpr(
@@ -970,17 +977,23 @@ def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"explode(transform(sequence(0, (size({tokens_spark('text')}) - 1) "
         f"div {c}), i -> md5(array_join(slice({tokens_spark('text')}, "
         f"i * {c} + 1, {c}), ' ')))) AS fp")
-    occ = ch.groupBy("fp").agg(
-        F.count("*").alias("n_occ"),
-        F.countDistinct("doc_id").alias("n_docs_with"))
+    # partial-agg to one row per (fp, doc); then COUNT(*) OVER fp is
+    # n_docs_with and SUM(n) OVER fp is n_occ — single text scan, no
+    # count-back join (the join formulation recomputed the chunk stream
+    # on both branches AND broadcast a frame that is ~n_chunks rows at
+    # scale: a 100 TB OOM shape)
+    pd = ch.groupBy("fp", "doc_id", "source").agg(F.count("*").alias("n"))
+    w = W.partitionBy("fp")
+    pd2 = pd.withColumn("n_occ", F.sum("n").over(w)) \
+            .withColumn("n_docs_with", F.count("*").over(w))
     return (
-        ch.join(occ, "fp")
-        .groupBy("source")
-        .agg(F.count("*").cast("bigint").alias("n_chunks"),
+        pd2.groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_chunks"),
              F.countDistinct("fp").cast("bigint").alias("n_distinct_chunks"),
-             F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+             F.sum(F.when(F.col("n_docs_with") > 1, F.col("n"))
+                   .otherwise(0))
              .cast("bigint").alias("n_cross_doc_dup_chunks"),
-             F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+             F.sum(F.when(F.col("n_occ") > 1, F.col("n")).otherwise(0))
              .cast("bigint").alias("n_dup_occurrences"))
     )
 
@@ -1028,11 +1041,18 @@ def q85_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     tok = docs.selectExpr(
         "doc_id", "source", f"explode({tokens_spark('text')}) AS t")
-    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("n_df"))
-    tf = tok.groupBy("source", "t").agg(F.count("*").alias("n_tf"))
+    # one shared partial-agg to (t, doc) granularity; COUNT(*) OVER t is
+    # the document frequency (rows unique per (t, doc)) — single text
+    # scan instead of recomputing the token stream for tf and df
+    td = tok.groupBy("t", "source", "doc_id").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    td2 = td.withColumn("n_df", F.count("*").over(W.partitionBy("t")))
+    tf = (td2.groupBy("source", "t")
+          .agg(F.sum("n").alias("n_tf"), F.max("n_df").alias("n_df")))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df_, "t").crossJoin(F.broadcast(n))
+        tf.crossJoin(F.broadcast(n))
         .select(
             "source", F.col("t").alias("term"),
             F.col("n_tf").cast("bigint").alias("n_tf"),
