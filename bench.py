@@ -54,6 +54,8 @@ HEADLINE = [
     "q70_multimodal_metadata",
     "q77_event_funnel",
     "q79_incremental_dedup",
+    "q82_dup_text_fraction",
+    "q84_chunk_dedup",
 ]
 
 

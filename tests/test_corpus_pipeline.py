@@ -1,0 +1,77 @@
+"""End-to-end corpus dedup pipeline + compaction (corpus_pipeline.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.corpus_pipeline import (
+    compact_parquet,
+    dedup_corpus,
+    parquet_files,
+)
+from etl_transparencia_sergipe_spark.operators.components import (
+    connected_components,
+)
+from etl_transparencia_sergipe_spark.operators.dedup import (
+    minhash_lsh_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_dedup_corpus_matches_operator_composition(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "deduped")
+    report = dedup_corpus(docs, out)
+
+    # independent recomputation from the oracle-checked building blocks
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=16, bands=4, threshold=0.4)
+    drops = connected_components(pairs).filter("node != component")
+    n_in = docs.count()
+    assert report["n_in"] == n_in
+    assert report["n_dropped"] == drops.count()
+    assert report["n_kept"] == n_in - report["n_dropped"]
+
+    written = spark.read.parquet(out)
+    assert written.count() == report["n_kept"]
+    # no dropped doc survives; every cluster keeps exactly its canonical
+    dropped_ids = {r[0] for r in drops.select("node").collect()}
+    surviving = {r[0] for r in written.select("doc_id").collect()}
+    assert not (dropped_ids & surviving)
+
+
+def test_dedup_corpus_idempotent_on_deduped_output(spark, tmp_path):
+    docs = _docs(spark)
+    out1 = str(tmp_path / "pass1")
+    out2 = str(tmp_path / "pass2")
+    r1 = dedup_corpus(docs, out1)
+    r2 = dedup_corpus(spark.read.parquet(out1), out2)
+    # a second pass over already-deduped output drops (almost) nothing:
+    # the canonical representatives can still band-collide, but every
+    # >= threshold verified pair was collapsed in pass 1
+    assert r2["n_in"] == r1["n_kept"]
+    assert r2["n_dropped"] == 0
+
+
+def test_compact_parquet_preserves_content(spark, tmp_path):
+    frag = str(tmp_path / "fragmented")
+    docs = _docs(spark)
+    docs.repartition(40).write.parquet(frag)
+    n_before = len(parquet_files(frag))
+    assert n_before >= 40
+    before_sum = docs.agg(F.sum("doc_id"), F.count("*")).collect()[0]
+
+    report = compact_parquet(spark, frag, target_bytes=64 * 1024 * 1024)
+    assert report["files_before"] == n_before
+    assert report["files_after"] < n_before
+    after = spark.read.parquet(frag)
+    after_sum = after.agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    assert tuple(before_sum) == tuple(after_sum)
+    assert report["rows"] == before_sum[1]
