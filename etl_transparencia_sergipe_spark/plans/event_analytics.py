@@ -107,3 +107,124 @@ def q78_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("int") / 7).cast("int").alias("week_offset"))
         .agg(F.count("*").cast("bigint").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 extensions: SCD2 interval build + rolling active users
+# ---------------------------------------------------------------------------
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "q88_scd2_intervals",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM o
+    ), agg AS (
+        SELECT user_id, version, MIN(event_type) AS event_type,
+               MIN(ts) AS vf, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           strftime(vf, '{_FMT_DUCK}') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY version),
+                    '{_FMT_DUCK}') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg
+    """,
+    doc="D9/W-class SCD type-2 build: collapse each user's event stream "
+        "into slowly-changing-dimension validity intervals — gaps-and-"
+        "islands run segmentation (lag-change flag + running sum) over "
+        "(ts, event_id) total order, then one row per run with "
+        "[valid_from, valid_to) from lead(); the open run has NULL "
+        "valid_to, exactly the warehouse SCD2 current-row convention. "
+        "The generalization of the reference's month-idempotent re-"
+        "scrape bookkeeping to full change-history tracking. Shuffle "
+        "shape at 100 TB: every window and the final aggregate partition "
+        "by user_id, so the whole plan is ONE corpus-proportional "
+        "exchange plus per-partition sorts — the same single-shuffle "
+        "shape as q52's sessionization [EXT].",
+)
+def q88_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+        .otherwise(0))
+    runs = marked.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    agg = (runs.groupBy("user_id", "version")
+           .agg(F.min("event_type").alias("event_type"),
+                F.min("ts").alias("vf"),
+                F.count("*").alias("n_events")))
+    wv = W.partitionBy("user_id").orderBy("version")
+    return agg.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "event_type",
+        F.date_format("vf", _FMT_SPARK).alias("valid_from"),
+        F.date_format(F.lead("vf").over(wv), _FMT_SPARK).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "q90_rolling_active_users",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM d)
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active_7d,
+           CAST(COUNT(DISTINCT CASE WHEN d.day = days.day
+                                    THEN d.user_id END) AS BIGINT)
+               AS n_active_1d
+    FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day
+    """,
+    doc="A8/W-class rolling engagement: per event-day, distinct users "
+        "active in the trailing 7 days (the DAU/WAU family — COUNT "
+        "DISTINCT over a sliding date range, which no SQL window frame "
+        "expresses directly). The Spark plan inverts the range join: "
+        "each (day, user) row EXPLODES into the <=7 future report days "
+        "it contributes to (sequence + explode, codegen), then one "
+        "hash aggregate counts distinct users per day — no join against "
+        "the day spine except a broadcast semi-join to drop phantom "
+        "days past corpus end. Shuffle shape at 100 TB: the exchange "
+        "carries (day, user) pairs x 7 — bounded fan-out of an already "
+        "day-deduplicated frame, with map-side partial distinct [EXT].",
+)
+def q90_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = d.select("day").distinct()
+    ex = d.selectExpr(
+        "user_id", "day AS src_day",
+        "explode(sequence(day, date_add(day, 6))) AS day")
+    return (
+        ex.join(F.broadcast(spine), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"),
+             F.countDistinct(
+                 F.when(F.col("src_day") == F.col("day"), F.col("user_id")))
+             .cast("bigint").alias("n_active_1d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_active_7d", "n_active_1d")
+    )

@@ -82,13 +82,16 @@ _LOADED = False
 # so they are driver-certified the round they ship, displacing 6 more
 # double-certified unchanged stalwarts (q49, q53, q56, q59, q60, q61);
 # all six remain hash-verified in the local gate every round.
+#
+# Late round-4 additions (q87-q90 — semantic dedup, SCD2 intervals, DQ
+# audit, rolling active users) displace 4 more driver-green unchanged
+# stalwarts (q17, q18, q19, q26); all remain in the local gate.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q10_running_monthly_revenue",
-    "q17_price_bucket_pivot", "q18_cube_revenue", "q19_percentiles",
     "q20_token_stats",
     "q22_langid_heuristic",
-    "q24_fingerprint_dedup", "q26_map_explode",
+    "q24_fingerprint_dedup",
     "q30_exact_dedup",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
     "q35_levenshtein_neardup",
@@ -109,6 +112,8 @@ HEADLINE_50: tuple[str, ...] = (
     "q79_incremental_dedup", "q80_token_budget_sample",
     "q81_sigstore_probe", "q82_dup_text_fraction", "q83_source_overlap",
     "q84_chunk_dedup", "q85_tfidf_topk", "q86_quality_logistic",
+    "q87_semantic_dedup", "q88_scd2_intervals", "q89_dq_audit",
+    "q90_rolling_active_users",
 )
 
 
@@ -129,6 +134,7 @@ def _ensure_loaded() -> None:
         ml_queries,
         curation_queries,
         event_analytics,
+        dq_audit,
     )
 
     missing = [n for n in HEADLINE_50 if n not in REGISTRY]

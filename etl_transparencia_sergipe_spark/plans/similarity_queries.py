@@ -198,3 +198,87 @@ def q69_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.count("*") * F.lit(1000000.0))).alias("vmean_q6"),
         ((F.max("v") - F.min("v")) / F.lit(255.0)).alias("int8_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 extension: SemDeDup-style semantic dedup over SRP buckets
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.4
+_SEMDEDUP_PLANES = 8
+
+
+def _semantic_dedup_oracle() -> str:
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        hyperplanes,
+        srp_bucket_duck,
+    )
+
+    planes = hyperplanes(_SEMDEDUP_PLANES)
+    cos = cosine_expr_duck("a.embedding", "b.embedding")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {srp_bucket_duck('embedding', planes)} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT b.vec_id AS id_b
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} > {_SEMDEDUP_TAU}
+    ), removed AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN r.id_b IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM e LEFT JOIN removed r ON e.vec_id = r.id_b
+    GROUP BY label ORDER BY label
+    """
+
+
+@register(
+    "q87_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="J6/P10 SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+        "arXiv:2303.09540): embeddings are coarsely clustered — here by "
+        "deterministic SRP bucket, the oracle-reproducible stand-in for "
+        "the paper's k-means cells (q63 holds the trained-KMeans twin) — "
+        "and within each cluster every pair above the cosine threshold "
+        "marks the higher vec_id as a semantic duplicate; the min-id "
+        "representative survives. Per-label keep/remove counts come back. "
+        "Shuffle shape at 100 TB: one bucket-keyed exchange (vectors "
+        "partition by bucket, never pairwise), the per-bucket pair scan "
+        "runs as one Arrow/numpy task per bucket (cosine_block_pairs, "
+        "bounded by max_block_rows), and the removed-id frame is "
+        "~n_dups x 8 bytes — the corpus-proportional cost is exactly one "
+        "shuffle plus the in-bucket matmul, the same sharding production "
+        "vector dedup uses [EXT].",
+)
+def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        cosine_block_pairs,
+        hyperplanes,
+        srp_bucket_spark,
+    )
+
+    planes = hyperplanes(_SEMDEDUP_PLANES)
+    emb = load(spark, "embeddings", sf_dir).selectExpr(
+        "vec_id", "label", "embedding",
+        f"{srp_bucket_spark('embedding', planes)} AS bucket")
+    removed = (
+        cosine_block_pairs(emb, "bucket", threshold=_SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id")).distinct()
+        .withColumn("is_removed", F.lit(1)))
+    return (
+        emb.select("vec_id", "label")
+        .join(removed, "vec_id", "left")
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"),
+             F.sum(F.coalesce("is_removed", F.lit(0))).cast("bigint")
+             .alias("n_removed"),
+             F.sum(F.when(F.col("is_removed").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_kept"))
+        .orderBy("label")
+    )

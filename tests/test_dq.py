@@ -1,0 +1,55 @@
+"""operators/dq.py behavior: each check counts the violations it claims
+to count, on frames with injected defects (the oracle row for q89 covers
+the clean-path parity; this covers the dirty path)."""
+
+from __future__ import annotations
+
+from etl_transparencia_sergipe_spark.operators.dq import (
+    audit,
+    check_fk,
+    check_not_null,
+    check_predicate,
+    check_unique,
+)
+
+
+def _report(df):
+    return {(r.table_name, r.check_name): (r.n_rows, r.n_violations)
+            for r in df.collect()}
+
+
+def test_checks_count_injected_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, None), (3, 99, "c"), (3, 11, "d")],
+        "id int, ref int, name string")
+    parent = spark.createDataFrame([(10,), (11,)], "ref int")
+
+    rep = _report(audit([
+        check_unique(child, "child", ["id"]),
+        check_not_null(child, "child", "name"),
+        check_fk(child, "child", "ref", parent, "ref"),
+        check_predicate(child, "child", "id_positive", "id > 0"),
+    ]))
+    assert rep[("child", "unique_id")] == (4, 1)        # id=3 twice
+    assert rep[("child", "not_null_name")] == (4, 1)    # one NULL name
+    assert rep[("child", "fk_ref")] == (4, 1)           # ref=99 orphan
+    assert rep[("child", "id_positive")] == (4, 0)
+
+
+def test_fk_duplicate_parent_keys_do_not_double_count(spark):
+    child = spark.createDataFrame([(1, 10), (2, 20)], "id int, ref int")
+    parent = spark.createDataFrame([(10,), (10,)], "ref int")  # dup parent
+    rep = _report(check_fk(child, "child", "ref", parent, "ref"))
+    assert rep[("child", "fk_ref")] == (2, 1)  # ref=20 orphan, exactly 1
+
+
+def test_null_child_key_is_orphan_and_null_pred_is_violation(spark):
+    child = spark.createDataFrame(
+        [(1, None), (2, 10)], "id int, ref int")
+    parent = spark.createDataFrame([(10,)], "ref int")
+    rep = _report(audit([
+        check_fk(child, "child", "ref", parent, "ref"),
+        check_predicate(child, "child", "ref_small", "ref < 100"),
+    ]))
+    assert rep[("child", "fk_ref")] == (2, 1)      # NULL ref never matches
+    assert rep[("child", "ref_small")] == (2, 1)   # NULL pred = violation
