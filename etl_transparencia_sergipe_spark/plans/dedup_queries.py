@@ -298,51 +298,66 @@ def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale a large part table already has many partitions and
     # this is a cheap dimension-size shuffle)
     par = spark.sparkContext.defaultParallelism
-    # positional char-3-gram rows: explode(sequence) + substring stay in
-    # whole-stage codegen (no interpreted transform() lambdas)
+    # SLIM gram rows: (partkey, xxhash64(brand, size, gram), len, pos) —
+    # 4 fixed-width ints, no name/brand strings. The previous shape
+    # carried p_name on every gram row (~65 B/row, ~350 MB per join side
+    # at sf1); hashing the block key and deferring name recovery to a
+    # broadcast rejoin cuts the two gram shuffles ~3x and moves
+    # levenshtein AFTER the pair-distinct (2M distinct pairs instead of
+    # 5.2M candidate occurrences). Hash collisions only ADD candidates —
+    # the rejoin re-checks brand/size equality exactly and levenshtein
+    # re-verifies, while genuine gram matches always hash equal, so the
+    # result set is provably unchanged (re-verified: identical oracle
+    # hashes at sf0.01 and sf1). Positional grams stay in whole-stage
+    # codegen (explode(sequence) + substring).
     g = (
         p.repartition(par * 2)
-        .select(
+        .selectExpr(
             "p_partkey", "p_name", "p_brand", "p_size",
-            F.explode(
-                F.expr("sequence(1, greatest(length(p_name) - 2, 1))")
-            ).alias("pos"))
-        .withColumn("g", F.expr("substring(p_name, CAST(pos AS INT), 3)"))
+            "explode(sequence(1, greatest(length(p_name) - 2, 1))) AS pos")
+        .select(
+            "p_partkey",
+            F.xxhash64(
+                "p_brand", "p_size",
+                F.expr("substring(p_name, CAST(pos AS INT), 3)")).alias("kh"),
+            F.length("p_name").cast("int").alias("ln"),
+            F.col("pos").cast("int").alias("pos"))
     )
     # shuffle_hash: Catalyst's size estimate of the exploded gram frame
-    # undershoots and it broadcasts a 1.7M-row relation — a single-
-    # threaded driver-side build measured as ~4 of q35's 5 bench seconds
-    # at sf1; a co-partitioned shuffle-hash join builds in parallel and
-    # is the right strategy when both sides are fan-outs of the same
-    # large table
+    # undershoots and it broadcasts a multi-million-row relation — a
+    # single-threaded driver-side build measured as ~4 of q35's 5 bench
+    # seconds at sf1; a co-partitioned shuffle-hash join builds in
+    # parallel and is the right strategy when both sides are fan-outs of
+    # the same large table
     x, y = g.alias("x"), g.hint("shuffle_hash").alias("y")
     cand = (
-        x.join(y, (F.col("x.p_brand") == F.col("y.p_brand"))
-               & (F.col("x.p_size") == F.col("y.p_size"))
-               & (F.col("x.g") == F.col("y.g"))
+        x.join(y, (F.col("x.kh") == F.col("y.kh"))
                & (F.abs(F.col("x.pos") - F.col("y.pos")) <= 4)
                & (F.col("x.p_partkey") < F.col("y.p_partkey"))
-               & (F.abs(F.length(F.col("x.p_name"))
-                        - F.length(F.col("y.p_name"))) <= 4))
+               & (F.abs(F.col("x.ln") - F.col("y.ln")) <= 4))
         .select(F.col("x.p_partkey").alias("id_a"),
-                F.col("y.p_partkey").alias("id_b"),
-                F.col("x.p_name").alias("name_a"),
-                F.col("y.p_name").alias("name_b"))
-        # verify BEFORE the distinct: levenshtein on the (multiplicity-
-        # inflated) join output is cheap codegen work, and the dist<=4
-        # filter shrinks the distinct's exchange from every candidate
-        # occurrence to true-pair occurrences only. Plain distinct over
-        # all columns (names/dist are functionally determined by the
-        # ids) stays in whole-stage HashAggregate; dropDuplicates(subset)
-        # would plan first() aggregates that fall back to SortAggregate —
-        # measured 5x slower at sf1.
+                F.col("y.p_partkey").alias("id_b"))
+        # distinct over two int64s — the narrowest possible exchange
+        # (plain distinct stays in whole-stage HashAggregate;
+        # dropDuplicates(subset) would plan first() aggregates that fall
+        # back to SortAggregate — measured 5x slower at sf1)
+        .distinct()
+    )
+    # recover names/blocks for the surviving pairs only: part is a
+    # dimension (broadcastable here; at 100 TB this becomes a shuffle
+    # join co-partitioned on the id — still pair-count-proportional)
+    a = p.selectExpr("p_partkey AS id_a", "p_name AS name_a",
+                     "p_brand AS ba", "p_size AS sa")
+    b = p.selectExpr("p_partkey AS id_b", "p_name AS name_b",
+                     "p_brand AS bb", "p_size AS sb")
+    return (
+        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        .filter((F.col("ba") == F.col("bb")) & (F.col("sa") == F.col("sb")))
         .withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter((F.col("dist") <= 4) & (F.col("name_a") != F.col("name_b")))
-        .distinct()
-    )
-    return (
-        cand.orderBy(F.asc("dist"), F.asc("id_a"), F.asc("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .orderBy(F.asc("dist"), F.asc("id_a"), F.asc("id_b"))
         .limit(25)
     )
 

@@ -972,11 +972,23 @@ def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     c = _CHUNK_TOKENS
-    ch = docs.selectExpr(
-        "doc_id", "source",
-        f"explode(transform(sequence(0, (size({tokens_spark('text')}) - 1) "
-        f"div {c}), i -> md5(array_join(slice({tokens_spark('text')}, "
-        f"i * {c} + 1, {c}), ' ')))) AS fp")
+    # chunk fingerprints with ONE tokenization per doc: materialize the
+    # token array in its own projection, then chunk it in a second one.
+    # Inlining the split into the transform lambda re-ran the regex split
+    # once PER CHUNK (a subexpression inside a higher-order-function
+    # lambda evaluates per element; codegen CSE cannot hoist it out), and
+    # CollapseProject would have rebuilt exactly that — but it declines
+    # to collapse when a non-cheap expression would be duplicated, so the
+    # two-step select keeps split() evaluated once (asserted in
+    # tests/test_chunk_plan.py; chunk stage 3.7 s -> 1.2 s warm at sf1).
+    ch = (
+        docs.selectExpr("doc_id", "source",
+                        f"{tokens_spark('text')} AS toks")
+        .selectExpr(
+            "doc_id", "source",
+            f"explode(transform(sequence(0, (size(toks) - 1) div {c}), "
+            f"i -> md5(array_join(slice(toks, i * {c} + 1, {c}), ' ')))) "
+            "AS fp"))
     # partial-agg to one row per (fp, doc); then COUNT(*) OVER fp is
     # n_docs_with and SUM(n) OVER fp is n_occ — single text scan, no
     # count-back join (the join formulation recomputed the chunk stream
