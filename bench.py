@@ -56,6 +56,8 @@ HEADLINE = [
     "q79_incremental_dedup",
     "q82_dup_text_fraction",
     "q84_chunk_dedup",
+    "q87_semantic_dedup",
+    "q88_scd2_intervals",
 ]
 
 
