@@ -218,3 +218,36 @@ def q67_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(denom <= 0, F.lit(None).cast("double"))
         .otherwise(corr).alias("corr_r"),
     )
+
+
+@register(
+    "q91_media_ahash_neardup",
+    oracle=None,  # mapInPandas perceptual-hash stage — rows-only check
+    doc="multimodal content near-dup: 64-bit average-hash (aHash) per "
+        "payload via Arrow mapInPandas (stubbed decode, real byte "
+        "pooling), then Hamming-distance pairs via pigeonhole band "
+        "blocking — split the hash into d+1 bands, self-join on a "
+        "matching band, first-matching-band predicate kills the pair-"
+        "distinct shuffle (the q32 SimHash pattern applied to media), "
+        "bit_count(xor) verifies exactly. Content bytes never shuffle: "
+        "the join carries (id, 64-bit hash, band) only. Planted-"
+        "duplicate recovery is pytest-enforced (test_media_hash.py) "
+        "[EXT]",
+)
+def q91_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.sources.multimodal import (
+        average_hash,
+        hamming_neardup_pairs,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    media = media_from_documents(spark, docs)
+    pairs = hamming_neardup_pairs(average_hash(media), max_dist=4)
+    return (
+        pairs.groupBy("media_type")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"),
+             F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+             .cast("bigint").alias("n_exact"),
+             F.max("dist").cast("int").alias("max_dist"))
+        .orderBy("media_type")
+    )

@@ -131,3 +131,92 @@ def extract_features(media: DataFrame, decode_fn=fake_decode_features,
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup over media content (round-4)
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_id bigint, media_type string, ahash bigint"
+
+
+def average_hash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per media payload via mapInPandas.
+
+    Real pipeline: decode -> grayscale -> 8x8 downsample -> threshold at
+    the mean -> 64 bits. Without an imaging lib the 'decode' is the same
+    deterministic stand-in as ``fake_decode_features``: the payload's
+    byte stream mean-pooled into 64 buckets — identical payloads hash
+    identically and small byte perturbations flip few bits, which is the
+    property the near-dup join needs. A real decoder drops in by
+    replacing the pooling input with pixel values; schema, batching, and
+    the downstream Hamming join are unchanged.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for c in pdf["content"]:
+                b = np.frombuffer(c or b"\x00", dtype=np.uint8
+                                  ).astype(np.float64)
+                k = 64
+                if len(b) < k:
+                    b = np.pad(b, (0, k - len(b)))
+                trim = len(b) - (len(b) % k)
+                pooled = b[:trim].reshape(k, -1).mean(axis=1)
+                bits = pooled > pooled.mean()
+                u = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "ahash": pd.Series(hashes, dtype="int64"),
+            })
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def hamming_neardup_pairs(hashes: DataFrame, max_dist: int = 4) -> DataFrame:
+    """All media pairs with Hamming(ahash) <= max_dist, via pigeonhole
+    band blocking: split the 64-bit hash into (max_dist + 1) bands — two
+    hashes within distance d MUST agree on at least one band — and
+    self-join on (band_idx, band_value). The first-matching-band
+    predicate (the q32/q33 pattern) emits each pair from exactly one
+    band, so no pair-distinct shuffle; bit_count(xor) verifies the exact
+    distance in codegen. Shuffle ∝ n_media x (d+1) fixed-width rows —
+    content bytes never shuffle.
+    """
+    nb = max_dist + 1
+    width = 64 // nb
+
+    def band(col: str, i: int) -> str:
+        if i == nb - 1:  # last band takes the remainder bits
+            return f"shiftright({col}, {i * width})"
+        mask = (1 << width) - 1
+        return f"shiftright({col}, {i * width}) & {mask}"
+
+    b = hashes.selectExpr(
+        "media_id", "media_type", "ahash",
+        f"explode(array({', '.join(str(i) for i in range(nb))})) AS band_i"
+    ).selectExpr(
+        "media_id", "media_type", "ahash", "band_i",
+        " + ".join(
+            f"IF(band_i = {i}, {band('ahash', i)}, 0)" for i in range(nb)
+        ) + " AS band_v")
+    x, y = b.alias("x"), b.alias("y")
+    first_band = F.expr(" AND ".join(
+        f"(x.band_i <= {j} OR ({band('x.ahash', j)}) != ({band('y.ahash', j)}))"
+        for j in range(nb - 1)))
+    return (
+        x.join(y, (F.col("x.band_i") == F.col("y.band_i"))
+               & (F.col("x.band_v") == F.col("y.band_v"))
+               & (F.col("x.media_id") < F.col("y.media_id"))
+               & first_band)
+        .select(F.col("x.media_id").alias("id_a"),
+                F.col("y.media_id").alias("id_b"),
+                F.col("x.media_type").alias("media_type"),
+                F.expr("bit_count(x.ahash ^ y.ahash)").cast("int")
+                .alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )
