@@ -228,3 +228,53 @@ def q90_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                 "n_active_7d", "n_active_1d")
     )
+
+
+@register(
+    "q92_rolling_active_hll",
+    oracle=None,  # Apache DataSketches HLL state isn't SQL-reproducible in
+    # DuckDB — rows-only; the plan self-reports its error vs the exact
+    # count (q90's semantics) per day, so the gate still certifies
+    # estimator QUALITY, the q63 recall pattern
+    doc="A8 mergeable-sketch rolling actives: per-day HLL sketches "
+        "(hll_sketch_agg) unioned over the trailing 7 days "
+        "(hll_union_agg) — the pre-aggregation that makes rolling "
+        "COUNT DISTINCT feasible at 100 TB, where q90's exact "
+        "(day x user) explode-shuffle is corpus-proportional but daily "
+        "sketches are KILOBYTES: history compresses to n_days x 2^lgK "
+        "bytes and each new day unions 7 sketches instead of rescanning "
+        "7 days of raw events. Output self-reports per-day relative "
+        "error against the exact count computed in the same plan "
+        "(rel_err <= ~2% at lgK=12) [EXT].",
+)
+def q92_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    spine = daily.select("day")
+    ex = daily.selectExpr(
+        "sk", "explode(sequence(day, date_add(day, 6))) AS day")
+    approx = (
+        ex.join(F.broadcast(spine), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .cast("bigint").alias("n_active_7d_approx")))
+    # exact twin (q90's plan) in the same job for the error self-report
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = (
+        d.selectExpr("user_id", "explode(sequence(day, date_add(day, 6))) AS day")
+        .join(F.broadcast(spine), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint")
+             .alias("n_active_7d_exact")))
+    return (
+        exact.join(approx, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active_7d_exact", "n_active_7d_approx",
+            F.round(
+                F.abs(F.col("n_active_7d_approx")
+                      - F.col("n_active_7d_exact"))
+                / F.col("n_active_7d_exact"), 4).alias("rel_err"))
+        .orderBy("day")
+    )

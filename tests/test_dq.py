@@ -53,3 +53,14 @@ def test_null_child_key_is_orphan_and_null_pred_is_violation(spark):
     ]))
     assert rep[("child", "fk_ref")] == (2, 1)      # NULL ref never matches
     assert rep[("child", "ref_small")] == (2, 1)   # NULL pred = violation
+
+
+def test_q92_hll_rolling_error_bound(spark, sf_dir):
+    """HLL 7-day rolling actives: estimator within 5% of the exact count
+    on every day (lgK=12 default => ~1.6% typical)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q92_rolling_active_hll"](
+        spark, sf_dir).collect()
+    assert rows
+    assert max(r.rel_err for r in rows) < 0.05
