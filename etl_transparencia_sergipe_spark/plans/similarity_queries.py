@@ -254,7 +254,13 @@ def _semantic_dedup_oracle() -> str:
         "bounded by max_block_rows), and the removed-id frame is "
         "~n_dups x 8 bytes — the corpus-proportional cost is exactly one "
         "shuffle plus the in-bucket matmul, the same sharding production "
-        "vector dedup uses [EXT].",
+        "vector dedup uses. Bucket count is 2^n_planes and must GROW "
+        "with the corpus (p ~ log2(n/target_block); in-bucket pair work "
+        "is O(n^2/2^p)) — the query pins p=8 for oracle parity at test "
+        "scale, max_block_rows fails loudly rather than letting an "
+        "undersized p go quadratic (test_similarity.py), and the "
+        "trained-KMeans IVF cells (q63) are the balanced-partition "
+        "production quantizer [EXT].",
 )
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_transparencia_sergipe_spark.operators.similarity import (

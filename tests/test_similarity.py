@@ -171,3 +171,18 @@ def test_winnowing_shared_substring_guarantee(spark, sf_dir):
     for r in sel.select("doc_id", "fp").collect():
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2], f"no shared fingerprint: {fps}"
+
+
+def test_cosine_block_pairs_oversized_block_fails_loudly(spark):
+    """max_block_rows is the quadratic-blowup guard: an undersized
+    bucket count must error, not silently run O(n^2)."""
+    import pytest
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        cosine_block_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, bucket int, embedding array<double>")
+    with pytest.raises(Exception, match="max_block_rows"):
+        cosine_block_pairs(df, "bucket", max_block_rows=5).collect()
