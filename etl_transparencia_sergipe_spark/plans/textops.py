@@ -1152,3 +1152,86 @@ def q86_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
               / F.count("*")).alias("avg_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4: count-min sketch heavy hitters (constant-size frequency sketch)
+# ---------------------------------------------------------------------------
+
+from etl_transparencia_sergipe_spark.operators.hashing import (  # noqa: E402
+    HASH_A as _CM_A,
+    HASH_B as _CM_B,
+    MERSENNE as _CM_P,
+    h60_duck,
+    h60_spark,
+)
+
+_CM_D, _CM_W = 4, 1024
+
+
+def _cm_bucket(i: int, h60: str) -> str:
+    """Row-i CM bucket of a pre-hashed token (shared by both engines)."""
+    return (f"((({_CM_A[i]} * ({h60} % {_CM_P}) + {_CM_B[i]}) % {_CM_P})"
+            f" % {_CM_W})")
+
+
+@register(
+    "q93_cm_heavy_hitters",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT t, COUNT(*) AS exact_cnt, {h60_duck('t')} AS h
+        FROM (SELECT unnest({{toks}}) AS t FROM documents)
+        GROUP BY t
+    ), rows_ AS (
+        SELECT i, CASE i {' '.join(
+            f"WHEN {i} THEN {_cm_bucket(i, 'h')}" for i in range(_CM_D))}
+               END AS b, exact_cnt, t
+        FROM vocab, UNNEST(range({_CM_D})) AS r(i)
+    ), cm AS (
+        SELECT i, b, SUM(exact_cnt) AS cnt FROM rows_ GROUP BY i, b
+    ), est AS (
+        SELECT r.t, MAX(r.exact_cnt) AS exact_cnt, MIN(cm.cnt) AS cm_est
+        FROM rows_ r JOIN cm ON r.i = cm.i AND r.b = cm.b
+        GROUP BY r.t
+    )
+    SELECT t AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - exact_cnt AS BIGINT) AS overcount
+    FROM est ORDER BY exact_cnt DESC, token ASC LIMIT 20
+    """.format(toks="string_split_regex(lower(trim(text)), '\\s+')"),
+    doc="A8/F16 count-min-sketch heavy hitters: a d=4 x w=1024 CM sketch "
+        "of corpus token frequencies — CONSTANT size (16 KB of counters) "
+        "no matter the corpus, the property that lets a 100 TB pipeline "
+        "keep a mergeable frequency summary per shard and union by "
+        "elementwise addition. Built from the vocab (each DISTINCT token "
+        "hashed once, counts added weighted), not the raw stream — "
+        "identical counters, vocab-sized work. Estimates are "
+        "min-over-rows; overcount >= 0 always, reported per top-20 "
+        "token so the gate certifies estimator quality EXACTLY (all "
+        "integer arithmetic on the shared md5-derived hash family — "
+        "bit-identical in DuckDB, full hash match, unlike the "
+        "DataSketches-backed q43/q92 which are rows-only) [EXT].",
+)
+def q93_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    vocab = (docs.selectExpr(f"explode({tokens_spark('text')}) AS t")
+             .groupBy("t").agg(F.count("*").alias("exact_cnt"))
+             .selectExpr("t", "exact_cnt", f"{h60_spark('t')} AS h"))
+    rows = vocab.selectExpr(
+        "t", "exact_cnt",
+        "explode(array(" + ", ".join(
+            f"struct({i} AS i, {_cm_bucket(i, 'h')} AS b)"
+            for i in range(_CM_D)) + ")) AS s"
+    ).select("t", "exact_cnt", "s.i", "s.b")
+    cm = rows.groupBy("i", "b").agg(F.sum("exact_cnt").alias("cnt"))
+    est = (rows.join(F.broadcast(cm), ["i", "b"])
+           .groupBy("t")
+           .agg(F.max("exact_cnt").alias("exact_cnt"),
+                F.min("cnt").alias("cm_est")))
+    return (est.select(
+        F.col("t").alias("token"),
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        (F.col("cm_est") - F.col("exact_cnt")).cast("bigint")
+        .alias("overcount"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20))
