@@ -1198,7 +1198,7 @@ def _cm_bucket(i: int, h60: str) -> str:
            CAST(cm_est AS BIGINT) AS cm_est,
            CAST(cm_est - exact_cnt AS BIGINT) AS overcount
     FROM est ORDER BY exact_cnt DESC, token ASC LIMIT 20
-    """.format(toks="string_split_regex(lower(trim(text)), '\\s+')"),
+    """.format(toks=tokens_duck("text")),
     doc="A8/F16 count-min-sketch heavy hitters: a d=4 x w=1024 CM sketch "
         "of corpus token frequencies — CONSTANT size (16 KB of counters) "
         "no matter the corpus, the property that lets a 100 TB pipeline "

@@ -198,18 +198,20 @@ def hamming_neardup_pairs(hashes: DataFrame, max_dist: int = 4) -> DataFrame:
 
     b = hashes.selectExpr(
         "media_id", "media_type", "ahash",
-        f"explode(array({', '.join(str(i) for i in range(nb))})) AS band_i"
-    ).selectExpr(
-        "media_id", "media_type", "ahash", "band_i",
-        " + ".join(
-            f"IF(band_i = {i}, {band('ahash', i)}, 0)" for i in range(nb)
-        ) + " AS band_v")
+        "explode(array(" + ", ".join(
+            f"struct({i} AS band_i, {band('ahash', i)} AS band_v)"
+            for i in range(nb)) + ")) AS s"
+    ).select("media_id", "media_type", "ahash", "s.band_i", "s.band_v")
     x, y = b.alias("x"), b.alias("y")
     first_band = F.expr(" AND ".join(
         f"(x.band_i <= {j} OR ({band('x.ahash', j)}) != ({band('y.ahash', j)}))"
         for j in range(nb - 1)))
     return (
-        x.join(y, (F.col("x.band_i") == F.col("y.band_i"))
+        # same-type pairs only: comparing an audio byte-stream hash to an
+        # image hash is meaningless, and the per-type report must not
+        # attribute cross-type pairs to id_a's type
+        x.join(y, (F.col("x.media_type") == F.col("y.media_type"))
+               & (F.col("x.band_i") == F.col("y.band_i"))
                & (F.col("x.band_v") == F.col("y.band_v"))
                & (F.col("x.media_id") < F.col("y.media_id"))
                & first_band)

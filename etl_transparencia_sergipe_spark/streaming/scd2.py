@@ -13,6 +13,15 @@ across micro-batches (in-batch order is enforced here with a sort). A
 replayed log or a per-key-ordered source satisfies it; an out-of-order
 production stream needs a watermark-sorted pre-stage first.
 
+Non-null contract: ``event_type`` must be non-null. The batch twin's
+NULL-safe lag comparison (NULL <> x is NULL -> no change flag) merges a
+NULL row into the prior run and q88's MIN() picks the non-null label,
+while numpy's ``!=`` would treat None as its own run — rather than
+replicate that corner, the stream requires the attribute column be
+cleaned upstream (the fixture and any real change log satisfy this; a
+NULL attribute in a change log is a data-quality error — see
+operators/dq.py check_not_null).
+
 Scale posture: state is (type, valid_from, n, version) per key — fixed
 width, no growth with history; per-batch work is a vectorized
 change-point segmentation (shift-compare + cumsum) with a Python loop

@@ -47,9 +47,11 @@ def test_band_join_equals_bruteforce(spark, sf_dir):
     hashes = average_hash(media).cache()
     got = {(r.id_a, r.id_b, r.dist) for r in
            hamming_neardup_pairs(hashes, max_dist=4).collect()}
-    a = hashes.selectExpr("media_id AS id_a", "ahash AS ha")
-    b = hashes.selectExpr("media_id AS id_b", "ahash AS hb")
-    brute = (a.crossJoin(b).filter("id_a < id_b")
+    a = hashes.selectExpr("media_id AS id_a", "ahash AS ha",
+                          "media_type AS ta")
+    b = hashes.selectExpr("media_id AS id_b", "ahash AS hb",
+                          "media_type AS tb")
+    brute = (a.crossJoin(b).filter("id_a < id_b AND ta = tb")
              .withColumn("dist", F.expr("bit_count(ha ^ hb)").cast("int"))
              .filter("dist <= 4"))
     want = {(r.id_a, r.id_b, r.dist) for r in brute.collect()}
