@@ -62,18 +62,22 @@ def check_predicate(df: DataFrame, table: str, name: str,
 
 def check_fk(child: DataFrame, table: str, key: str,
              parent: DataFrame, parent_key: str) -> DataFrame:
-    """Referential integrity: child keys with no parent (anti-join count).
+    """Referential integrity: child keys with no parent (EXISTS semantics).
 
-    Anti-join (EXISTS semantics), not left-join-null-count, so duplicate
-    parent keys can never double-count child rows; a small parent side
-    broadcasts.
+    ONE scan of the child: left-join against the DISTINCT parent keys
+    and count rows + unmatched rows in the same aggregate. The distinct
+    makes left-join-null-count equal anti-join count (duplicate parent
+    keys can never double-count child rows), and at 100 TB it halves
+    the passes over the giant child table vs a separate count + anti-
+    join; the deduped key column broadcasts when small.
     """
-    orphans = (child.select(F.col(key))
-               .join(parent.select(F.col(parent_key).alias(key)),
-                     key, "left_anti")
-               .agg(F.count("*").alias("n_violations")))
-    agg = (child.agg(F.count("*").alias("n_rows"))
-           .crossJoin(orphans))
+    pk = (parent.select(F.col(parent_key).alias(key)).distinct()
+          .withColumn("_hit", F.lit(1)))
+    agg = (child.select(F.col(key))
+           .join(pk, key, "left")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .alias("n_violations")))
     return _wrap(agg, table, f"fk_{key}")
 
 
