@@ -1096,10 +1096,17 @@ _QL_STOPS = "'the', 'a', 'of', 'and', 'to'"
                    AS n_stop
         FROM documents
     ), z AS (
+        -- 0.03 must be a DOUBLE literal: DuckDB parses bare decimal
+        -- literals as DECIMAL, making 0.03 * n_tok EXACT decimal
+        -- arithmetic while Spark's 0.03D * n_tok rounds once in binary —
+        -- an ulp apart for some n_tok, which flips floor(score*5) bands
+        -- (surfaced at sf1: 14 band rows differed; e0 notation pins the
+        -- same double-rounded tree on both engines)
         SELECT source,
-               -2.0 + 0.03 * n_tok
-                    + 4.0 * (CAST(n_stop AS DOUBLE) / n_tok)
-                    - 0.5 * abs(CAST(n_word_chars AS DOUBLE) / n_tok - 5.0)
+               -2.0e0 + 0.03e0 * n_tok
+                    + 4.0e0 * (CAST(n_stop AS DOUBLE) / n_tok)
+                    - 0.5e0 * abs(CAST(n_word_chars AS DOUBLE) / n_tok
+                                  - 5.0e0)
                    AS z
         FROM feat
     ), s AS (
