@@ -427,3 +427,58 @@ def q73_merge_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy(F.col("mes").cast("int").alias("mes")).agg(
         F.count("*").alias("n"),
         F.sum("o_totalprice").cast("double").alias("total"))
+
+
+@register(
+    "q94_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="J3/A7/O3 TPC-H Q3-shaped shipping priority: unshipped-revenue "
+        "top-10 for one market segment — selective predicates on TWO fact "
+        "scans (o_orderdate and l_shipdate both reach the parquet scan as "
+        "PushedFilters), segment filter prunes customer before its "
+        "broadcast, exact-DECIMAL revenue, TakeOrderedAndProject top-10 "
+        "with full tie-break. The classic join-order/pushdown exercise "
+        "for the optimizer at 100 TB: both date predicates cut the fact "
+        "scans BEFORE the join, so the shuffle carries only the "
+        "passing orders [EXT].",
+)
+def q94_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.plans._helpers import revenue_col
+
+    c = (load(spark, "customer", sf_dir)
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (load(spark, "orders", sf_dir)
+         .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (load(spark, "lineitem", sf_dir)
+          .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+          .select("l_orderkey", revenue_col().alias("rev")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                 .alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )
