@@ -61,6 +61,12 @@ def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
         .config("spark.sql.leafNodeDefaultParallelism", str(cores))
         # Python Data Source filter pushdown (portal_datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # INT96 (the legacy default) carries NO parquet min/max stats, so
+        # timestamp predicates can never skip row groups on our own
+        # writes; int64 micros restores stats + pushdown (operators/
+        # layout.py measures the skip fraction) and is what modern lake
+        # formats mandate anyway
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
