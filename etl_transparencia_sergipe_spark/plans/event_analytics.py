@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_transparencia_sergipe_spark.plans._helpers import load
+from etl_transparencia_sergipe_spark.plans._helpers import dsum, dsum_sql, load
 from etl_transparencia_sergipe_spark.plans.registry import register
 
 
@@ -278,3 +278,70 @@ def q92_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_active_7d_exact"), 4).alias("rel_err"))
         .orderBy("day")
     )
+
+
+@register(
+    "q95_scd2_asof_enrich",
+    oracle=f"""
+    WITH ch AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               CASE WHEN lag(CAST(json_extract(props, '$.k') AS INT))
+                         OVER w IS NULL
+                     OR lag(CAST(json_extract(props, '$.k') AS INT))
+                         OVER w <> CAST(json_extract(props, '$.k') AS INT)
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), dim AS (
+        SELECT user_id, ts AS eff_ts, k FROM ch WHERE chg = 1
+    ), buys AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), enriched AS (
+        SELECT b.user_id, b.value,
+               (SELECT d.k FROM dim d
+                WHERE d.user_id = b.user_id AND d.eff_ts <= b.ts
+                ORDER BY d.eff_ts DESC LIMIT 1) AS k_at_purchase
+        FROM buys b
+    )
+    SELECT k_at_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {dsum_sql('value')} AS total_value
+    FROM enriched GROUP BY k_at_purchase
+    ORDER BY k_at_purchase
+    """,
+    doc="J5/D9 SCD2 CONSUMPTION: enrich each purchase with the "
+        "attribute version (props.k) valid at purchase time — the "
+        "change-log (first/changed k per user, the q88 segmentation) "
+        "becomes the as-of dimension and operators/joins.asof_join "
+        "attaches the backward-nearest version; the oracle is the "
+        "correlated LIMIT-1 lookup. Every purchase has a version "
+        "(a user's first event opens one). Shuffle shape at 100 TB: "
+        "the union-sort-window as-of plan co-partitions both sides on "
+        "user_id — one exchange; ts_bucket switches to the two-pass "
+        "bucketed plan when one user dominates [EXT].",
+)
+def q95_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_transparencia_sergipe_spark.operators.joins import asof_join
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (ev.withColumn(
+        "chg", F.when(F.lag("k").over(w).isNull()
+                      | (F.lag("k").over(w) != F.col("k")), 1).otherwise(0))
+        .filter("chg = 1")
+        .select("user_id", F.col("ts").alias("eff_ts"), "k"))
+    buys = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value")
+    enriched = asof_join(buys, dim, on="user_id",
+                         left_ts="ts", right_ts="eff_ts",
+                         right_cols=["k"])
+    return (enriched.groupBy(F.col("k").alias("k_at_purchase"))
+            .agg(F.count("*").cast("bigint").alias("n_purchases"),
+                 dsum("value").alias("total_value"))
+            .orderBy("k_at_purchase"))
