@@ -86,12 +86,16 @@ _LOADED = False
 # Late round-4 additions (q87-q90 — semantic dedup, SCD2 intervals, DQ
 # audit, rolling active users) displace 4 more driver-green unchanged
 # stalwarts (q17, q18, q19, q26); all remain in the local gate.
+#
+# Final round-4 rotation: q93-q95 (CM heavy hitters, shipping priority,
+# SCD2 as-of enrichment — all oracle-backed) displace q24, q48, q54
+# (driver-green in r02 AND r03, unchanged). q91/q92 are rows-only by
+# contract and live in the extended tier like q62/q63/q71.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q10_running_monthly_revenue",
     "q20_token_stats",
     "q22_langid_heuristic",
-    "q24_fingerprint_dedup",
     "q30_exact_dedup",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
     "q35_levenshtein_neardup",
@@ -99,9 +103,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q40_knn_bruteforce",
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
     "q45_lsh_multiprobe", "q46_ivf_ann_topk",
-    "q48_grouping_sets",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
-    "q54_hash_split_stratified",
     "q57_pack_chunks",
     "q64_decontamination", "q65_domain_mixture", "q66_repetition_ratio",
     "q67_corr_series", "q68_mixture_sample", "q69_embedding_dim_stats",
@@ -114,6 +116,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q84_chunk_dedup", "q85_tfidf_topk", "q86_quality_logistic",
     "q87_semantic_dedup", "q88_scd2_intervals", "q89_dq_audit",
     "q90_rolling_active_users",
+    "q93_cm_heavy_hitters", "q94_shipping_priority", "q95_scd2_asof_enrich",
 )
 
 
