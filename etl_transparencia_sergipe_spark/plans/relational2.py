@@ -482,3 +482,58 @@ def q94_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "q96_cdc_apply",
+    oracle="""
+    WITH cdc AS (
+        SELECT o_orderkey,
+               CASE CAST(o_orderkey % 10 AS INT)
+                    WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE NULL END AS op,
+               CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS new_price
+        FROM orders WHERE CAST(o_orderkey % 10 AS INT) IN (0, 1)
+    ), survivors AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM cdc c
+                          WHERE c.o_orderkey = o.o_orderkey)
+    ), applied AS (
+        SELECT o_orderkey, new_price AS o_totalprice FROM cdc
+        WHERE op <> 'D'
+    ), merged AS (
+        SELECT * FROM survivors UNION ALL SELECT * FROM applied
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM merged
+    """,
+    doc="D9 CDC apply (MERGE with deletes): a synthetic I/U/D change "
+        "batch — every orderkey%10==0 deleted, %10==1 re-priced — "
+        "applied to the orders base via operators/upsert.apply_cdc: one "
+        "key anti-join for untouched survivors plus a union of the "
+        "batch's non-delete rows, deletes falling out by omission. The "
+        "MERGE flavor q36 (logical upsert) and q73 (partition-overwrite "
+        "materialization) don't cover. Both sides co-partition on the "
+        "key — single corpus-proportional shuffle at 100 TB [EXT].",
+)
+def q96_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.upsert import apply_cdc
+
+    base = load(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)")
+        .alias("o_totalprice"))
+    cdc = (load(spark, "orders", sf_dir)
+           .filter((F.col("o_orderkey") % 10).cast("int").isin(0, 1))
+           .select("o_orderkey",
+                   F.when((F.col("o_orderkey") % 10).cast("int") == 0, "D")
+                   .otherwise("U").alias("op"),
+                   (F.col("o_totalprice") * 2).cast("decimal(18,2)")
+                   .alias("o_totalprice")))
+    merged = apply_cdc(base, cdc, ["o_orderkey"], op_col="op")
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+        F.sum("o_totalprice").cast("double").alias("total"))

@@ -95,3 +95,17 @@ def test_q93_cm_estimate_never_undercounts(spark, sf_dir):
         mass = (vocab.selectExpr(f"{_cm_bucket(i, 'h')} AS b", "c")
                 .agg(F.sum("c")).collect()[0][0])
         assert mass == total
+
+
+def test_apply_cdc_semantics(spark):
+    """CDC apply: deletes remove, updates replace, inserts append,
+    untouched keys survive unchanged."""
+    from etl_transparencia_sergipe_spark.operators.upsert import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double")
+    cdc = spark.createDataFrame(
+        [(2, "U", 99.0), (3, "D", 0.0), (4, "I", 40.0)],
+        "k int, op string, v double")
+    got = {r.k: r.v for r in apply_cdc(base, cdc, ["k"]).collect()}
+    assert got == {1: 10.0, 2: 99.0, 4: 40.0}
