@@ -87,13 +87,13 @@ _LOADED = False
 # audit, rolling active users) displace 4 more driver-green unchanged
 # stalwarts (q17, q18, q19, q26); all remain in the local gate.
 #
-# Final round-4 rotation: q93-q95 (CM heavy hitters, shipping priority,
-# SCD2 as-of enrichment — all oracle-backed) displace q24, q48, q54
-# (driver-green in r02 AND r03, unchanged). q91/q92 are rows-only by
-# contract and live in the extended tier like q62/q63/q71.
+# Final round-4 rotation: q93-q96 (CM heavy hitters, shipping priority,
+# SCD2 as-of enrichment, CDC apply — all oracle-backed) displace q24,
+# q48, q54, q10 (driver-green in r02 AND r03, unchanged; running-window
+# coverage stays via q88/q95). q91/q92 are rows-only by contract and
+# live in the extended tier like q62/q63/q71.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
-    "q10_running_monthly_revenue",
     "q20_token_stats",
     "q22_langid_heuristic",
     "q30_exact_dedup",
@@ -117,6 +117,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q87_semantic_dedup", "q88_scd2_intervals", "q89_dq_audit",
     "q90_rolling_active_users",
     "q93_cm_heavy_hitters", "q94_shipping_priority", "q95_scd2_asof_enrich",
+    "q96_cdc_apply",
 )
 
 
