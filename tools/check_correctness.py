@@ -83,23 +83,27 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+                  f"[{t_spark:.1f}s]")
             continue
+        t1 = time.time()
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        t_duck = time.time() - t1
         sn, sc, sh = canonical(sdf)
         on, oc, oh = canonical(odf)
         status = "OK  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(f"{status}  {name}: spark={sn} rows {sh} | duck={on} rows {oh}"
-              f" [{time.time()-t0:.1f}s]")
+              f" [{time.time()-t0:.1f}s = spark {t_spark:.1f}s"
+              f" + duck {t_duck:.1f}s]")
         if status == "FAIL":
             if sc != oc:
                 print(f"      cols spark={sc}\n      cols duck ={oc}")
