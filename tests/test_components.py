@@ -34,3 +34,17 @@ def test_components_converge_on_long_chain(spark):
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 31
+
+
+def test_components_log_diameter_convergence(spark):
+    # The sharp form of the O(log diameter) claim: a diameter-256 chain
+    # must converge within 8 rounds (label reach doubles per round via
+    # path halving). Plain min-propagation would need 256 rounds, so
+    # this fails loudly if the pointer-jumping step ever regresses.
+    # Default max_iter=20 therefore covers diameters up to ~2^20.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(256)], "id_a bigint, id_b bigint")
+    got = {r.node: r.component
+           for r in connected_components(pairs, max_iter=8).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 257
