@@ -17,12 +17,30 @@ from pyspark.sql import functions as F
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """DataFrame[node, component] where component = min node id reachable.
 
     ``pairs`` is an undirected edge list; isolated nodes absent from it
     simply keep their own id (callers union them in if needed).
+
+    ``checkpoint_dir``: when set, per-iteration lineage truncation uses
+    reliable ``checkpoint()`` into that directory (HDFS/S3/shared disk)
+    — the CLUSTER path: blocks survive executor loss, so a lost executor
+    mid-iteration recovers from storage instead of killing the job
+    (localCheckpoint stores blocks on executor-local storage with NO
+    lineage left to recompute them). When None (the local[32] default),
+    cheap ``localCheckpoint()`` is used.
     """
+
+    def truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .unionByName(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
@@ -33,7 +51,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(truncate)
     )
     for _ in range(max_iter):
         # hop 1: min over neighbors' labels and own
@@ -64,7 +82,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             )
             # truncate lineage: each round otherwise stacks joins on the
             # previous round's plan until planning/execution blows up
-            .localCheckpoint(eager=True)
+            .transform(truncate)
         )
         changed = (
             updated.alias("u").join(labels.alias("l"), "node")
@@ -77,10 +95,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b") -> DataFrame:
+                   id_b: str = "id_b",
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Cluster summary: component id (canonical doc = min id), member
     count — the keep-one-per-cluster decision table."""
-    cc = connected_components(pairs, id_a, id_b)
+    cc = connected_components(pairs, id_a, id_b,
+                              checkpoint_dir=checkpoint_dir)
     return cc.groupBy("component").agg(
         F.count("*").alias("n_members"),
         F.max("node").alias("max_member"),

@@ -53,10 +53,23 @@ def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — correct for
+    HDFS/S3/local alike, unlike driver-local ``os.path`` probes (round-4
+    ADVICE: an ``os.path.isdir`` check silently returns False for any
+    non-local store path, skipping the probe)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def probe_signature_store(spark: SparkSession, store_path: str,
                           new_docs: DataFrame, id_col: str, text_col: str,
                           k: int = 16, bands: int = 4,
-                          n: int = 3) -> DataFrame:
+                          n: int = 3,
+                          ingest_batch_lt: int | None = None) -> DataFrame:
     """LSH-probe a NEW batch against a persisted signature store.
 
     Returns DataFrame[old_id, new_id, n_agree] where n_agree is the
@@ -66,10 +79,19 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     text (the store scan reads doc_id + k ints only; the only text scan
     in this plan is the new batch's — tests/test_sigstore.py asserts
     that property on the physical plan).
+
+    ``ingest_batch_lt``: when the store is partitioned by ingest_batch
+    (the streaming sink's layout), restrict the probe to partitions
+    strictly below the given epoch — a replayed micro-batch must never
+    probe its own (possibly already-written) signatures, or it emits
+    self-pairs and intra-batch pairs that break the cross-batch-only
+    contract. Partition pruning turns this into a directory skip.
     """
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     old_sig = spark.read.parquet(store_path)
+    if ingest_batch_lt is not None:
+        old_sig = old_sig.filter(F.col("ingest_batch") < ingest_batch_lt)
     new_sig = (minhash_signatures(new_docs, id_col, text_col, k=k, n=n)
                .transform(persist_scoped))
 

@@ -306,10 +306,14 @@ def q35_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # levenshtein AFTER the pair-distinct (2M distinct pairs instead of
     # 5.2M candidate occurrences). Hash collisions only ADD candidates —
     # the rejoin re-checks brand/size equality exactly and levenshtein
-    # re-verifies, while genuine gram matches always hash equal, so the
-    # result set is provably unchanged (re-verified: identical oracle
-    # hashes at sf0.01 and sf1). Positional grams stay in whole-stage
-    # codegen (explode(sequence) + substring).
+    # re-verifies, while genuine gram matches always hash equal. A
+    # 64-bit xxhash64 collision between two DIFFERENT (brand, size,
+    # gram) tuples could in principle admit a pair that never shared a
+    # true positional 3-gram yet still passes the final checks, so the
+    # equivalence is collision-safe up to ~2^-64 odds, not a proof —
+    # verified empirically: identical oracle hashes at sf0.01 and sf1.
+    # Positional grams stay in whole-stage codegen
+    # (explode(sequence) + substring).
     g = (
         p.repartition(par * 2)
         .selectExpr(

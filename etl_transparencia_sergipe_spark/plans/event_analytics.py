@@ -294,7 +294,14 @@ def q92_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), dim AS (
-        SELECT user_id, ts AS eff_ts, k FROM ch WHERE chg = 1
+        -- one row per (user_id, eff_ts): if two same-ts events both
+        -- change k, the later event_id wins (matches the Spark side)
+        SELECT user_id, eff_ts, k FROM (
+            SELECT user_id, ts AS eff_ts, k,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM ch WHERE chg = 1
+        ) WHERE rn = 1
     ), buys AS (
         SELECT user_id, ts, value FROM events
         WHERE event_type = 'purchase'
@@ -331,10 +338,17 @@ def q95_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id", "value",
         F.get_json_object("props", "$.k").cast("int").alias("k"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # dedupe to one version per (user_id, eff_ts) — if two same-ts
+    # events both change k, keep the later event_id (asof_join's
+    # contract requires the right side unique per (key, ts); without
+    # this the tie would resolve arbitrarily on both engines)
     dim = (ev.withColumn(
         "chg", F.when(F.lag("k").over(w).isNull()
                       | (F.lag("k").over(w) != F.col("k")), 1).otherwise(0))
         .filter("chg = 1")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))))
+        .filter("rn = 1")
         .select("user_id", F.col("ts").alias("eff_ts"), "k"))
     buys = ev.filter("event_type = 'purchase'").select(
         "user_id", "ts", "value")

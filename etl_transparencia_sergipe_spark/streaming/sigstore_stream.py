@@ -12,7 +12,11 @@ continuous-ingestion posture a production corpus pipeline runs 24/7:
              2. append the micro-batch's own signatures to the store,
                 partitioned by ingest batch id (idempotent on retry:
                 dynamic partition overwrite of THIS batch's partition)
-             3. append the flagged pairs to the flags table
+             3. write the flagged pairs to the flags table, partitioned
+                by batch id with the same dynamic-partition overwrite
+                (a replayed epoch rewrites its own flag partition; the
+                probe excludes the store's own-epoch partition so replay
+                is deterministic)
 
 Reference parity: the reference's incremental month-skip ("already
 scraped?" check against what exists on disk —
@@ -30,8 +34,6 @@ the store doubles as the batch path's input (one store serves both).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,7 @@ from etl_transparencia_sergipe_spark.operators.dedup import (
     minhash_signatures,
 )
 from etl_transparencia_sergipe_spark.operators.sigstore import (
+    hadoop_path_exists,
     probe_signature_store,
 )
 
@@ -74,15 +77,31 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         spark = batch_df.sparkSession
         sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n)
 
-        if os.path.isdir(store_path) and any(
-                not e.startswith(("_", ".")) for e in os.listdir(store_path)):
+        # Replay-safe probe: (a) existence check goes through the Hadoop
+        # FileSystem API (correct for HDFS/S3, not just local disk);
+        # (b) the store is filtered to ingest_batch < epoch_id so a
+        # replayed epoch whose store partition was already written never
+        # probes its own signatures (which would emit self-pairs and
+        # intra-batch pairs, breaking the cross-batch-only invariant);
+        # (c) flags are partitioned by batch_id and written with dynamic
+        # partition overwrite — a retry rewrites epoch N's flag
+        # partition instead of appending duplicates. The probe is
+        # deterministic given the (immutable) < epoch store state, so
+        # overwrite converges to the same content on every replay.
+        if hadoop_path_exists(spark, store_path):
             flags = (
                 probe_signature_store(spark, store_path, batch_df,
-                                      id_col, text_col, k=k, bands=bands, n=n)
+                                      id_col, text_col, k=k, bands=bands,
+                                      n=n, ingest_batch_lt=int(epoch_id))
                 .filter(F.col("n_agree") >= min_agree)
                 .withColumn("batch_id", F.lit(int(epoch_id)))
             )
-            flags.write.mode("append").parquet(flags_path)
+            (
+                flags.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(flags_path)
+            )
 
         # partition-scoped overwrite: replaying epoch N rewrites only
         # ingest_batch=N (requires dynamic partitionOverwriteMode, set by

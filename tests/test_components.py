@@ -36,6 +36,29 @@ def test_components_converge_on_long_chain(spark):
     assert len(got) == 31
 
 
+def test_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to reliable
+    checkpoint(): same exact result, checkpoint files actually land in
+    the directory (cluster-durable — survives executor loss, unlike
+    localCheckpoint's executor-local blocks), and the returned frame's
+    lineage is truncated to a checkpoint scan (no iterative join stack).
+    """
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint")
+    out = connected_components(pairs, checkpoint_dir=ckpt)
+    got = {r.node: r.component for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # reliable checkpoint blocks were written under the dir
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "no reliable checkpoint files written"
+    # lineage is truncated: the debug string bottoms out at a
+    # ReliableCheckpointRDD scan, not the per-iteration join stack
+    assert "ReliableCheckpointRDD" in out.rdd.toDebugString().decode()
+
+
 def test_components_log_diameter_convergence(spark):
     # The sharp form of the O(log diameter) claim: a diameter-256 chain
     # must converge within 8 rounds (label reach doubles per round via

@@ -106,16 +106,29 @@ def test_stream_store_is_probeable_by_batch_path(spark, docs_batches,
 
 
 def test_epoch_replay_is_idempotent(spark, docs_batches, tmp_path):
+    """Replay a finished epoch into the SAME store AND flags paths.
+
+    The worst-case retry: the store partition for epoch N was already
+    written before the failure. The replayed probe must (a) not match
+    the batch against its own epoch's signatures (no self-pairs /
+    intra-batch pairs), and (b) rewrite — not append to — epoch N's
+    flag partition, leaving the flags table bit-identical.
+    """
     docs_dir, _ = docs_batches
     store, flags = _run(spark, docs_dir, tmp_path, "replay")
     sig_before = spark.read.parquet(store)
     n_before = sig_before.count()
+    flags_before = spark.read.parquet(flags).collect()
     # replay one batch file through the sink under ITS original epoch id
-    # (simulated retry after a sink failure)
+    # (simulated retry after a sink failure), same store + flags paths
     batch2 = spark.read.parquet(os.path.join(docs_dir, "batch2.parquet"))
     some_id = batch2.select("doc_id").first()[0]
     epoch = (sig_before.filter(f"doc_id = {some_id}")
              .select("ingest_batch").first()[0])
-    sink = sigstore_ingest_sink(store, str(tmp_path / "flags_replay2"))
+    sink = sigstore_ingest_sink(store, flags)
     sink(batch2, int(epoch))
     assert spark.read.parquet(store).count() == n_before
+    fl_after = spark.read.parquet(flags)
+    assert fl_after.filter("old_id = new_id").count() == 0
+    assert sorted(map(tuple, fl_after.collect())) == \
+        sorted(map(tuple, flags_before))
