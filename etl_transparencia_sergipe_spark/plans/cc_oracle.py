@@ -1,0 +1,87 @@
+"""Iterative DuckDB connected-components oracle (q38/q39 fast path).
+
+The registered ``oracle_sql`` for q38/q39 is a recursive-CTE transitive
+closure — fine at the driver's sf0.01 (seconds) but O(sum of reachable
+sets) in the recursion: ~17 minutes per query at sf1 and unusable at
+sf10. This module is the oracle-side twin of
+``operators/components.py``: the same min-label propagation with path
+halving, expressed as a DuckDB temp-table loop — O(log diameter)
+rounds of cheap hash joins instead of the closure blow-up.
+
+``tools/check_correctness.py`` uses a query's ``oracle_py`` override
+(registry.QueryDef.oracle_py) when present; the driver keeps running
+the pure-SQL oracle at sf0.01, which certifies the two formulations
+agree (the gate also cross-checks them at sf0.01 —
+tests/test_cc_oracle.py asserts sql-vs-py hash equality directly).
+"""
+
+from __future__ import annotations
+
+# labels tables already materialized on a connection, keyed by
+# (connection id, pairs SQL) — q38 and q39 share the same near-dup
+# graph, so the second query reuses the first's converged labels
+_CC_CACHE: dict[tuple[int, str], str] = {}
+
+
+def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
+    """Materialize DataFrame[node, component] for the pair graph.
+
+    Returns the temp-table name holding the converged labels. Mirrors
+    operators/components.connected_components: per round, (1) each node
+    takes the min label over itself and its neighbors, (2) path halving
+    follows component -> component-of-component, so label reach doubles
+    per round and a diameter-D graph converges in O(log D) rounds.
+    """
+    key = (id(con), pairs_sql)
+    if key in _CC_CACHE:
+        return _CC_CACHE[key]
+    # rebuilding overwrites the shared temp tables — drop any stale
+    # cache entries for this connection (different pairs_sql)
+    for k in [k for k in _CC_CACHE if k[0] == id(con)]:
+        del _CC_CACHE[k]
+
+    con.execute(f"""
+        CREATE OR REPLACE TEMP TABLE _cc_edges AS
+        WITH pairs AS ({pairs_sql})
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    """)
+    con.execute("""
+        CREATE OR REPLACE TEMP TABLE _cc_labels AS
+        SELECT DISTINCT src AS node, src AS component FROM _cc_edges
+    """)
+    for _ in range(max_iter):
+        # hop 1: min over own label and neighbors' labels
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE _cc_hop AS
+            SELECT l.node,
+                   LEAST(l.component,
+                         COALESCE(MIN(nl.component), l.component))
+                       AS component
+            FROM _cc_labels l
+            LEFT JOIN _cc_edges e ON e.src = l.node
+            LEFT JOIN _cc_labels nl ON nl.node = e.dst
+            GROUP BY l.node, l.component
+        """)
+        # path halving: component := label of my component
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE _cc_next AS
+            SELECT h.node,
+                   LEAST(h.component,
+                         COALESCE(p.component, h.component)) AS component
+            FROM _cc_hop h
+            LEFT JOIN _cc_hop p ON p.node = h.component
+        """)
+        changed = con.execute("""
+            SELECT count(*) FROM _cc_next n
+            JOIN _cc_labels l ON l.node = n.node
+            WHERE l.component <> n.component
+        """).fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE _cc_labels AS "
+                    "SELECT * FROM _cc_next")
+        if changed == 0:
+            _CC_CACHE[key] = "_cc_labels"
+            return "_cc_labels"
+    raise RuntimeError(
+        f"cc oracle did not converge in {max_iter} rounds")

@@ -91,8 +91,30 @@ def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the shared near-dup pair graph for q38/q39 (and their fast oracle)
+_CC_PAIRS_SQL = minhash_lsh_pairs_duck('documents', 'doc_id', 'text',
+                                       k=16, bands=4, threshold=0.4)
+
+
+def _q38_oracle_py(con):
+    """Iterative label-propagation oracle — same result as the
+    registered recursive-CTE SQL (tests/test_cc_oracle.py proves hash
+    equality at sf0.01) at O(log diameter) cost instead of the
+    transitive-closure blow-up (~17 min -> seconds at sf1)."""
+    from etl_transparencia_sergipe_spark.plans.cc_oracle import (
+        cc_labels_duck,
+    )
+
+    t = cc_labels_duck(con, _CC_PAIRS_SQL)
+    return con.execute(f"""
+        SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
+        FROM {t} GROUP BY component
+    """).fetchdf()
+
+
 @register(
     "q38_dedup_clusters",
+    oracle_py=_q38_oracle_py,
     oracle=f"""
     WITH RECURSIVE pairs AS ({minhash_lsh_pairs_duck('documents', 'doc_id',
                                                      'text', k=16, bands=4,

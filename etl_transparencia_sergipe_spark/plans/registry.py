@@ -28,16 +28,26 @@ class QueryDef:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None => driver does rows-only check
     doc: str = ""
+    # Optional LOCAL-TOOLING oracle: a callable (duckdb con with the
+    # testdata views registered) -> pandas DataFrame, used by
+    # tools/check_correctness.py INSTEAD of `oracle` when present. For
+    # oracles whose pure-SQL form has pathological complexity at scale
+    # (q38/q39's recursive-CTE transitive closure). The driver contract
+    # is unchanged: oracle_sql() still publishes the SQL string, and the
+    # driver runs it at sf0.01 where it is cheap.
+    oracle_py: Callable | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "",
+             oracle_py: Callable | None = None):
     """Decorator: add a builder to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(name=name, build=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QueryDef(name=name, build=fn, oracle=oracle,
+                                  doc=doc, oracle_py=oracle_py)
         return fn
 
     return deco

@@ -258,8 +258,33 @@ def q47_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q39_oracle_py(con):
+    """Iterative label-propagation oracle for q39 — shares the converged
+    labels table with q38's (same pair graph, cached per connection)."""
+    from etl_transparencia_sergipe_spark.plans.cc_oracle import (
+        cc_labels_duck,
+    )
+    from etl_transparencia_sergipe_spark.plans.dedup_queries import (
+        _CC_PAIRS_SQL,
+    )
+
+    t = cc_labels_duck(con, _CC_PAIRS_SQL)
+    return con.execute(f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               {dsum_sql(TOKEN_COUNT_SQL.format(c='text'), 0)}
+                   AS total_tokens,
+               {dsum_sql('n_chars', 0)} AS total_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT node FROM {t} WHERE node <> component)
+        GROUP BY lang
+    """).fetchdf()
+
+
 @register(
     "q39_curation_keep_canonical",
+    oracle_py=_q39_oracle_py,
     oracle=f"""
     WITH RECURSIVE pairs AS (
         {minhash_lsh_pairs_duck('documents', 'doc_id', 'text',

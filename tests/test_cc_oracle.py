@@ -1,0 +1,73 @@
+"""The iterative DuckDB CC oracle (plans/cc_oracle.py) must produce
+bit-identical results to the registered recursive-CTE oracle SQL for
+q38/q39 — that equality is what lets the local gate swap in the cheap
+formulation at sf>=1 while the driver keeps certifying the SQL form.
+No Spark involved: pure DuckDB-vs-DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("documents",)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df[cols].astype(str).itertuples(index=False)))
+
+
+@pytest.mark.parametrize("qname", ["q38_dedup_clusters",
+                                   "q39_curation_keep_canonical"])
+def test_oracle_py_matches_oracle_sql(con, qname):
+    from etl_transparencia_sergipe_spark.plans.registry import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()  # force registration
+    qd = REGISTRY[qname]
+    assert qd.oracle_py is not None and qd.oracle is not None
+    sql_df = con.execute(qd.oracle).fetchdf()
+    py_df = qd.oracle_py(con)
+    assert sorted(sql_df.columns) == sorted(py_df.columns)
+    assert _norm(sql_df) == _norm(py_df)
+
+
+def test_cc_labels_cached_across_queries(con):
+    """q39 must reuse q38's converged labels (same pair graph)."""
+    from etl_transparencia_sergipe_spark.plans import cc_oracle
+    from etl_transparencia_sergipe_spark.plans.dedup_queries import (
+        _CC_PAIRS_SQL,
+    )
+
+    cc_oracle.cc_labels_duck(con, _CC_PAIRS_SQL)
+    assert (id(con), _CC_PAIRS_SQL) in cc_oracle._CC_CACHE
+
+
+def test_cc_oracle_exact_on_known_graph():
+    """Chain + islands fixture: labels equal min reachable id."""
+    from etl_transparencia_sergipe_spark.plans.cc_oracle import (
+        cc_labels_duck,
+    )
+
+    c = duckdb.connect()
+    pairs_sql = """
+        SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4), (10, 11),
+                              (20, 21), (21, 22), (20, 22))
+        AS t(id_a, id_b)
+    """
+    t = cc_labels_duck(c, pairs_sql)
+    got = dict(c.execute(f"SELECT node, component FROM {t}").fetchall())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}

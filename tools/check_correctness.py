@@ -21,6 +21,7 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from etl_transparencia_sergipe_spark.plans import registry
 from etl_transparencia_sergipe_spark.session import get_spark
 from etl_transparencia_sergipe_spark.sources.catalog import TABLES
 
@@ -90,7 +91,15 @@ def main() -> int:
             continue
         t1 = time.time()
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            # per-query python oracle override (registry.QueryDef
+            # .oracle_py): same semantics as the SQL oracle, tractable
+            # complexity at sf>=1 (q38/q39's iterative CC oracle); the
+            # driver still runs the SQL form at sf0.01
+            qd = registry.REGISTRY.get(name)
+            if qd is not None and qd.oracle_py is not None:
+                odf = qd.oracle_py(con)
+            else:
+                odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
