@@ -1,7 +1,16 @@
-"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness — runs the bench set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Bench set selection (round 5 — full-surface coverage, r4 VERDICT item
+1: regressions outside the 31-query headline set were invisible):
+- default: EVERY registered query (95; the 88 oracle-backed ones get a
+  DuckDB ratio via tools/bench_paired.py, the 7 rows-only ones are
+  Spark-timed only)
+- SPARK_GRAFT_BENCH_SET=headline: the historical 31-query headline set
+- SPARK_GRAFT_BENCH_QUERIES=q31_...,q33_...: explicit comma list (used
+  for the sf1 >=1s tier)
 
 Each query is fully materialized on the driver via Arrow (``toArrow``;
 the DuckDB twin uses ``.arrow()``) so the whole plan executes and the
@@ -61,13 +70,27 @@ HEADLINE = [
 ]
 
 
+def bench_names(qs: dict) -> list[str]:
+    """Resolve the bench set from the environment (module docstring)."""
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if explicit:
+        names = [n.strip() for n in explicit.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        return names
+    if os.environ.get("SPARK_GRAFT_BENCH_SET") == "headline":
+        return [n for n in HEADLINE if n in qs]
+    return list(qs)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = bench_names(qs)
 
     # Warmup: one pass over every table (JVM/reader init + OS page cache —
     # the DuckDB twin benches against the same warm file cache), then every
@@ -112,7 +135,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "headline_queries_total",
+        "metric": "bench_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -222,7 +222,66 @@ def q67_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q91_media_ahash_neardup",
-    oracle=None,  # mapInPandas perceptual-hash stage — rows-only check
+    # Full SQL twin of the mapInPandas aHash stage (byte extraction via
+    # hex(), exact integer mean-pool threshold 64*S_i > sum(S)) plus a
+    # brute-force same-type Hamming join — the oracle verifies the
+    # banded join admits exactly the <= max_dist pairs. Upgraded from
+    # rows-only in round 5 (round-4 VERDICT item 6).
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image/png','audio/wav','video/mp4']
+                   [CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ), by AS (
+        SELECT media_id, media_type,
+               CASE WHEN n < 64
+                 THEN list_concat(
+                   list_transform(range(1, 2*n+1, 2), p ->
+                     (strpos('0123456789ABCDEF',
+                             substring(hx, CAST(p AS INT), 1))-1)*16
+                     + strpos('0123456789ABCDEF',
+                              substring(hx, CAST(p AS INT)+1, 1))-1),
+                   list_transform(range(64 - n), x -> 0))
+                 ELSE list_transform(range(1, 2*(n - n % 64)+1, 2), p ->
+                     (strpos('0123456789ABCDEF',
+                             substring(hx, CAST(p AS INT), 1))-1)*16
+                     + strpos('0123456789ABCDEF',
+                              substring(hx, CAST(p AS INT)+1, 1))-1)
+               END AS bv
+        FROM m
+    ), pooled AS (
+        SELECT media_id, media_type,
+               list_transform(range(64), i ->
+                   list_sum(bv[(i * (len(bv)//64) + 1)
+                               :((i+1) * (len(bv)//64))])) AS s,
+               list_sum(bv) AS t
+        FROM by
+    ), h AS (
+        SELECT media_id, media_type,
+               CAST(list_sum(list_transform(range(64), i ->
+                   CASE WHEN 64 * s[CAST(i AS INT)+1] > t
+                        THEN CASE WHEN i = 0 THEN -9223372036854775808
+                             ELSE (1::HUGEINT << (63 - CAST(i AS INT)))
+                             END
+                        ELSE 0 END)) AS BIGINT) AS ahash
+        FROM pooled
+    ), pairs AS (
+        SELECT x.media_type,
+               CAST(bit_count(xor(x.ahash, y.ahash)) AS INT) AS dist
+        FROM h x JOIN h y
+          ON x.media_type = y.media_type AND x.media_id < y.media_id
+        WHERE bit_count(xor(x.ahash, y.ahash)) <= 4
+    )
+    SELECT media_type,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           MAX(dist) AS max_dist
+    FROM pairs GROUP BY media_type ORDER BY media_type
+    """,
     doc="multimodal content near-dup: 64-bit average-hash (aHash) per "
         "payload via Arrow mapInPandas (stubbed decode, real byte "
         "pooling), then Hamming-distance pairs via pigeonhole band "

@@ -100,19 +100,27 @@ _LOADED = False
 # Final round-4 rotation: q93-q96 (CM heavy hitters, shipping priority,
 # SCD2 as-of enrichment, CDC apply — all oracle-backed) displace q24,
 # q48, q54, q10 (driver-green in r02 AND r03, unchanged; running-window
-# coverage stays via q88/q95). q91/q92 are rows-only by contract and
-# live in the extended tier like q62/q63/q71.
+# coverage stays via q88/q95).
+#
+# Round-5 rotation (r4 VERDICT item 5): q63/q91/q92 — the only three
+# queries never driver-certified across r01-r04 — enter the window so
+# every registered query has earned a driver row at least once. q91 is
+# newly hash-backed (integer aHash + full SQL oracle, r4 VERDICT item
+# 6); q63/q92 are rows-only by contract (the driver records a weaker
+# rows-only row — it handled those in r01/r02). They displace q20, q22,
+# q30 (driver-green hash rows in r03 AND r04, implementations
+# unchanged; all three stay hash-verified in the local gate every
+# round).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
-    "q20_token_stats",
-    "q22_langid_heuristic",
-    "q30_exact_dedup",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
     "q35_levenshtein_neardup",
     "q38_dedup_clusters", "q39_curation_keep_canonical",
     "q40_knn_bruteforce",
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
     "q45_lsh_multiprobe", "q46_ivf_ann_topk",
+    "q63_ivf_trained_topk",
+    "q91_media_ahash_neardup", "q92_rolling_active_hll",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
     "q57_pack_chunks",
     "q64_decontamination", "q65_domain_mixture", "q66_repetition_ratio",

@@ -146,11 +146,18 @@ def average_hash(media: DataFrame) -> DataFrame:
     Real pipeline: decode -> grayscale -> 8x8 downsample -> threshold at
     the mean -> 64 bits. Without an imaging lib the 'decode' is the same
     deterministic stand-in as ``fake_decode_features``: the payload's
-    byte stream mean-pooled into 64 buckets — identical payloads hash
+    byte stream pooled into 64 buckets — identical payloads hash
     identically and small byte perturbations flip few bits, which is the
     property the near-dup join needs. A real decoder drops in by
     replacing the pooling input with pixel values; schema, batching, and
     the downstream Hamming join are unchanged.
+
+    Bit i is set iff bucket i's byte sum exceeds the all-bucket average:
+    ``64 * S_i > sum(S)`` — the mean-pool threshold expressed as an
+    EXACT integer comparison, so the DuckDB oracle (q91) reproduces it
+    bit-for-bit with no float summation-order risk (equal buckets all
+    have the same width, so dividing by it cancels out of the
+    inequality).
     """
     import numpy as np
 
@@ -159,13 +166,13 @@ def average_hash(media: DataFrame) -> DataFrame:
             hashes = []
             for c in pdf["content"]:
                 b = np.frombuffer(c or b"\x00", dtype=np.uint8
-                                  ).astype(np.float64)
+                                  ).astype(np.int64)
                 k = 64
                 if len(b) < k:
                     b = np.pad(b, (0, k - len(b)))
                 trim = len(b) - (len(b) % k)
-                pooled = b[:trim].reshape(k, -1).mean(axis=1)
-                bits = pooled > pooled.mean()
+                sums = b[:trim].reshape(k, -1).sum(axis=1)
+                bits = (k * sums) > sums.sum()
                 u = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
             yield pd.DataFrame({

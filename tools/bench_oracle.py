@@ -1,6 +1,14 @@
-"""DuckDB oracle timings for the same headline queries — the BASELINE
+"""DuckDB oracle timings for the same bench set — the BASELINE
 stand-in (the reference publishes no benchmarks; BASELINE.md §'Engine
-bench target'). Prints one JSON line shaped like bench.py's."""
+bench target'). Prints one JSON line shaped like bench.py's.
+
+Uses the same bench-set selection env vars as bench.py (full surface by
+default); only oracle-backed queries are timed. Queries with a python
+oracle override (registry ``oracle_py`` — q38/q39's iterative CC loop)
+are timed through it, with the cross-query labels cache cleared first so
+each query pays its own full oracle cost (no cache-sharing skew in the
+per-query ratios).
+"""
 
 from __future__ import annotations
 
@@ -15,7 +23,7 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod
-from bench import HEADLINE
+from bench import bench_names
 
 
 def main() -> None:
@@ -23,20 +31,30 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    from etl_transparencia_sergipe_spark.plans import cc_oracle, registry
     from etl_transparencia_sergipe_spark.sources.catalog import TABLES
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracles = entrymod.oracle_sql()
-    names = [n for n in HEADLINE if n in oracles]
-    con.execute(oracles[names[0]])  # warmup
+    names = [n for n in bench_names(entrymod.queries()) if n in oracles]
+
+    def run(n: str) -> None:
+        qd = registry.REGISTRY.get(n)
+        if qd is not None and qd.oracle_py is not None:
+            cc_oracle._CC_CACHE.clear()
+            qd.oracle_py(con)
+        else:
+            # .arrow(): same columnar client-materialization path as the
+            # Spark bench's toArrow() — see bench.py methodology note
+            con.execute(oracles[n]).arrow()
+
+    run(names[0])  # warmup
 
     timings = {}
     for n in names:
         t0 = time.perf_counter()
-        # .arrow(): same columnar client-materialization path as the
-        # Spark bench's toArrow() — see bench.py methodology note
-        con.execute(oracles[n]).arrow()
+        run(n)
         timings[n] = round(time.perf_counter() - t0, 3)
     print(json.dumps({
         "metric": "duckdb_oracle_total",
