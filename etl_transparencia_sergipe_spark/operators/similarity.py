@@ -372,24 +372,55 @@ def ivf_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
 
 def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
                      vec_col: str = "embedding",
-                     seed: int = 42) -> DataFrame:
-    """Trained coarse quantizer: MLlib KMeans (seeded) over the embedding
-    column -> DataFrame[cell, cvec]. The real-pipeline replacement for
-    ``ivf_topk``'s lowest-id seeding; reference k-means precedent is
-    data_science.ipynb:99 (k=3, random_state=42). Training is a Spark job
-    (Lloyd iterations over the corpus); the resulting C centroids are a
-    driver-side constant broadcast into the search plan, exactly like a
-    FAISS coarse quantizer shipped to workers."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+                     seed: int = 42, id_col: str = "vec_id",
+                     max_train_rows: int = 65536,
+                     max_iter: int = 20) -> DataFrame:
+    """Trained coarse quantizer -> DataFrame[cell, cvec]. The
+    real-pipeline replacement for ``ivf_topk``'s lowest-id seeding;
+    reference k-means precedent is data_science.ipynb:99 (k=3,
+    random_state=42).
 
-    feat = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>"))
-        .alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features",
-                   initMode="k-means||").fit(feat)
-    rows = [(i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())]
+    Training follows the FAISS posture: the coarse quantizer is fit on a
+    bounded DETERMINISTIC sample (hash-ordered by ``xxhash64(id)``, first
+    ``max_train_rows`` rows — stable across partitionings and cluster
+    sizes), collected driver-side, and Lloyd-iterated in numpy. At 100 TB
+    nobody trains a C-centroid quantizer with distributed Lloyd passes
+    over the full corpus: the sample bound makes training O(sample x dim)
+    on the driver — milliseconds — while assignment (the part that IS
+    corpus-sized) stays distributed in ``_ivf_cell_search``. The previous
+    MLlib KMeans formulation spent ~6 s of q63's 8.6 s sf1 wall on
+    k-means|| init + per-iteration job overhead for the same 16
+    centroids. Seeded numpy init + fixed iteration cap keep the result
+    reproducible.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.selectExpr(f"{vec_col} AS v",
+                          f"xxhash64({id_col}) AS h")
+        .orderBy("h").limit(max_train_rows)
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64)
+                  for r in sample.collect()])
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(max_iter):
+        # squared Euclidean assignment (standard Lloyd)
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        new = np.empty_like(cent)
+        for c in range(n_cells):
+            members = X[lab == c]
+            if len(members) == 0:
+                # re-seed an empty cell to the point farthest from its
+                # centroid (deterministic)
+                new[c] = X[d2.min(axis=1).argmax()]
+            else:
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    rows = [(i, [float(x) for x in cent[i]]) for i in range(n_cells)]
     return corpus.sparkSession.createDataFrame(
         rows, "cell bigint, cvec array<double>")
 
@@ -418,37 +449,93 @@ def _ivf_cell_search(corpus: DataFrame, cent: DataFrame, k: int,
                      query_pred: str) -> DataFrame:
     """Shared IVF search: assign each vector to its nearest centroid cell,
     probe the nprobe nearest cells per query, exact-rank the candidates.
-    ``cent`` is DataFrame[cell, cvec] (tiny, broadcast)."""
+    ``cent`` is DataFrame[cell, cvec] (tiny — collected driver-side and
+    closed over as a numpy constant, the FAISS coarse-quantizer shape).
+
+    Round-5 plan rewrite: the previous formulation cross-joined corpus x
+    centroids (n x C rows, each carrying the 64-dim vector) and collapsed
+    the expansion with a min(struct) aggregate — at sf1 that is a 320k-row
+    persisted frame plus interpreted per-row cosine folds, 6.8 s of wall
+    for what is arithmetically a (20k x 64)@(64 x 16) matmul. Now ONE
+    mapInPandas pass per corpus partition computes every vector's full
+    centroid-distance row vectorized, emits the argmin cell and (for
+    query rows) the nprobe-nearest cell list — no row expansion, no
+    assignment shuffle, and the quantizer travels in the UDF closure like
+    any broadcast constant. Distances accumulate per-dimension in the
+    same sequential order as ``cosine_pairs_udf``/the DuckDB fold, so
+    hashes are unchanged (verified at sf0.01 and sf1); ties on d resolve
+    to the smallest cell on both engines (columns sorted by cell,
+    argmin/lexsort are first-match/stable).
+
+    Scale shape at 100 TB: the corpus streams through once (narrow), the
+    quantizer is O(C x dim) bytes per executor, and the only shuffles are
+    the tiny probe broadcast and the final per-query top-k.
+    """
+    import numpy as np
+
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
-    base = corpus.selectExpr(
-        f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
-        f"({query_pred}) AS is_query")
-    scored = base.crossJoin(F.broadcast(cent)).selectExpr(
-        "neighbor_id", "cv", "is_query", "cell",
-        f"1.0D - ({cosine_expr_spark('cv', 'cvec')}) AS d")
-    # persist: scored feeds both the cell assignment and the query probes
-    # (queries are corpus rows, so their centroid distances are already
-    # here — recomputing them via a second cross join would double the
-    # coarse-quantizer pass)
-    scored = scored.transform(persist_scoped)
-    # argmin via min(struct): (d, cell) is unique per row, so the min
-    # brings along its row's cv/is_query; partial aggregation collapses
-    # the C candidate rows per vector map-side.
-    assign = (
-        scored.groupBy("neighbor_id")
-        .agg(F.min(F.struct("d", "cell", "cv", "is_query")).alias("m"))
-        .selectExpr("neighbor_id", "m.cell AS cell", "m.cv AS cv",
-                    "m.is_query AS is_query")
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    cells_np = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64)
+                     for r in cent_rows])
+    ncells, dim = cmat.shape
+    # centroid norms, accumulated per-dimension like cosine_pairs_udf
+    cnorm = np.zeros(ncells)
+    for d in range(dim):
+        cnorm += cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    assign_schema = ("neighbor_id bigint, cv array<double>, "
+                     "is_query boolean, cell bigint, probes array<bigint>")
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cv"]])
+            dot = np.zeros((len(pdf), ncells))
+            vnorm = np.zeros(len(pdf))
+            for d in range(dim):
+                dot += M[:, d:d + 1] * cmat[None, :, d]
+                vnorm += M[:, d] * M[:, d]
+            dist = 1.0 - dot / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+            # argmin -> first occurrence of the min; columns are cell-asc,
+            # so ties resolve to the smallest cell (min(struct) semantics)
+            amin = dist.argmin(axis=1)
+            probes = [None] * len(pdf)
+            for i, isq in enumerate(pdf["is_query"]):
+                if isq:
+                    # stable sort by (d, cell): lexsort's last key is
+                    # primary; cells ascending breaks exact-d ties
+                    order = np.lexsort((cells_np, dist[i]))[:nprobe]
+                    probes[i] = [int(cells_np[j]) for j in order]
+            yield pd.DataFrame({
+                "neighbor_id": pdf["neighbor_id"],
+                "cv": pdf["cv"],
+                "is_query": pdf["is_query"],
+                "cell": cells_np[amin],
+                "probes": probes,
+            })
+
+    assigned = (
+        corpus.selectExpr(
+            f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
+            f"({query_pred}) AS is_query")
+        .mapInPandas(assign_cells, schema=assign_schema)
+        # both join sides derive from this frame; materialize so the
+        # quantizer pass runs once per vector
+        .transform(persist_scoped)
     )
-    qp = scored.filter("is_query").selectExpr(
-        "neighbor_id AS query_id", "cv AS qv", "cell", "d")
-    wq = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
-    probes = (qp.withColumn("rn", F.row_number().over(wq))
-              .filter(F.col("rn") <= nprobe).select("query_id", "qv", "cell"))
+    probes = (assigned.filter("is_query")
+              .selectExpr("neighbor_id AS query_id", "cv AS qv",
+                          "explode(probes) AS cell"))
     # each vector lives in exactly one cell and probe cells are distinct,
     # so candidate pairs are already unique — no dedup shuffle needed
-    cand = (assign.select("neighbor_id", "cv", "cell")
+    cand = (assigned.select("neighbor_id", "cv", "cell")
             .join(F.broadcast(probes), "cell")
             .filter("query_id != neighbor_id"))
     out = cand.select("query_id", "neighbor_id",

@@ -41,12 +41,22 @@ def q18_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentile == DuckDB quantile_cont",
 )
 def q19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("median_qty"),
-        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
-        F.percentile("l_extendedprice", 0.75).alias("p75_price"),
+    # distribution-compressed exact percentiles (operators/percentiles):
+    # F.percentile's ObjectHashAggregate buffers every group value in one
+    # aggregation buffer — O(group) memory and a single-task merge, the
+    # thing that cannot survive 100x — while this plan shuffles one row
+    # per DISTINCT value (l_quantity: 50/group). Bit-identical to
+    # F.percentile (tests/test_percentiles.py) and to quantile_cont (this
+    # oracle, unchanged).
+    from etl_transparencia_sergipe_spark.operators.percentiles import (
+        exact_percentiles_stacked,
     )
+
+    li = load(spark, "lineitem", sf_dir)
+    return exact_percentiles_stacked(li, ["l_returnflag"], [
+        ("l_quantity", [0.5], ["median_qty"]),
+        ("l_extendedprice", [0.25, 0.75], ["p25_price", "p75_price"]),
+    ]).select("l_returnflag", "median_qty", "p25_price", "p75_price")
 
 
 @register(
@@ -349,11 +359,14 @@ def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast back against the fact scan.",
 )
 def q56_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, "lineitem", sf_dir)
-    fences = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("q1"),
-        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    from etl_transparencia_sergipe_spark.operators.percentiles import (
+        exact_percentiles,
     )
+
+    li = load(spark, "lineitem", sf_dir)
+    # distribution-compressed exact fences (see q19 note)
+    fences = exact_percentiles(li, ["l_returnflag"], "l_extendedprice",
+                               [0.25, 0.75], ["q1", "q3"])
     return (
         li.join(F.broadcast(fences), "l_returnflag")
         .groupBy("l_returnflag")

@@ -156,11 +156,16 @@ def q29_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfd = tf.transform(words)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     out = idf.transform(tfd)
-    from pyspark.ml.functions import vector_to_array
 
+    # L2 norm over the SPARSE values (unwrap_udt exposes the vector's
+    # values array): the previous vector_to_array fold densified every
+    # row to 4096 doubles and ran ~200M interpreted lambda steps at sf1
+    # (15.9 s); the ~80 nonzeros per doc give the identical sum — zeros
+    # add exactly 0.0 in IEEE and sparse values are stored in index
+    # order, so the fold sequence over nonzeros is unchanged.
+    vals = F.unwrap_udt(F.col("tfidf")).getField("values")
     norm = F.sqrt(F.aggregate(
-        F.transform(vector_to_array("tfidf"), lambda x: x * x),
-        F.lit(0.0), lambda acc, v: acc + v))
+        vals, F.lit(0.0), lambda acc, v: acc + v * v))
     return (
         out.withColumn("norm", norm)
         .groupBy("lang")

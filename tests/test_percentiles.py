@@ -1,0 +1,57 @@
+"""exact_percentiles (distribution-compressed) must be bit-identical to
+F.percentile — the buffered aggregate it replaces in q19/q56 — including
+interpolated (frac != 0) and exact-rank (frac == 0) positions, ties, and
+null handling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.percentiles import (
+    exact_percentiles,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _cmp(spark, df, keys, value, ps):
+    mine = exact_percentiles(df, keys, value, ps).collect()
+    ref = df.groupBy(*keys).agg(*[
+        F.percentile(value, p).alias(f"p{i}") for i, p in enumerate(ps)
+    ]).collect()
+    mine_d = {tuple(r[k] for k in keys): [r[c] for c in r.asDict()
+                                          if c not in keys] for r in mine}
+    ref_d = {tuple(r[k] for k in keys): [r[f"p{i}"]
+                                         for i in range(len(ps))]
+             for r in ref}
+    assert set(mine_d) == set(ref_d)
+    for k in ref_d:
+        for a, b in zip(mine_d[k], ref_d[k]):
+            if a is None or b is None:
+                assert a is b
+            else:
+                # bit-identical doubles, not approx
+                assert math.isclose(a, b, rel_tol=0, abs_tol=0), (k, a, b)
+
+
+def test_matches_builtin_on_lineitem(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    _cmp(spark, li, ["l_returnflag"], "l_quantity", [0.5, 0.25, 0.75])
+    _cmp(spark, li, ["l_returnflag"], "l_extendedprice",
+         [0.25, 0.75, 0.9, 0.99])
+
+
+def test_matches_builtin_with_ties_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", None),
+         ("b", 5.0), ("b", 7.0), ("c", 3.0)],
+        "g string, v double")
+    _cmp(spark, df, ["g"], "v", [0.0, 0.25, 0.5, 0.75])
+
+
+def test_single_value_group(spark):
+    df = spark.createDataFrame([("x", 42.0)], "g string, v double")
+    out = exact_percentiles(df, ["g"], "v", [0.5], ["med"]).collect()
+    assert out[0]["med"] == 42.0
