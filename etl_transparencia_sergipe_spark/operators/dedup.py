@@ -215,9 +215,18 @@ def jaccard_verify_pairs(df: DataFrame, cand: DataFrame, id_col: str,
                      id_col, text_col, n)
         .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     )
+    # shuffle_hash hints: the shingle-array side's in-memory size is
+    # badly underestimated by size stats (arrays of 60-bit hashes), and
+    # letting AQE "optimize" these joins into broadcasts builds a
+    # multi-GB driver-side hash relation on dup-dense corpora — the
+    # exact OOM the sf10 scale run caught (q33: 500k docs x 100-clique
+    # density). A shuffled hash join partitions the array side instead:
+    # per-task build memory is size/partitions, bounded.
     return (
-        cand.join(doc_sh.selectExpr("doc_id AS id_a", "sh AS sh_a"), "id_a")
-        .join(doc_sh.selectExpr("doc_id AS id_b", "sh AS sh_b"), "id_b")
+        cand.join(doc_sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
+                  .hint("shuffle_hash"), "id_a")
+        .join(doc_sh.selectExpr("doc_id AS id_b", "sh AS sh_b")
+              .hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "

@@ -45,7 +45,13 @@ def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts the driver AND every "executor" in ONE JVM: 8g
+        # (a single executor's budget on a real cluster) left ~256 MB
+        # per concurrent task at local[32] and OOM'd the sf10 scale run
+        # (q33's verify join). 24g is the local-box posture; a cluster
+        # deployment sets spark.executor.memory per node instead.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # 16 MB (not the 128 MB default): testdata tables arrive as one
         # compressed file each, and a 30 MB parquet file holds 1M+ rows
