@@ -91,6 +91,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = updated
         if not changed:
             break
+    # the final labels are checkpointed (self-contained), so the edge
+    # cache is dead weight from here — drop it eagerly rather than
+    # waiting for a driver GC to reclaim executor memory/disk
+    edges.unpersist(blocking=False)
     return labels
 
 

@@ -52,6 +52,15 @@ def get_spark(app_name: str = "etl-transparencia-sergipe-spark",
         # deployment sets spark.executor.memory per node instead.
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ContextCleaner only reclaims shuffle files / cached blocks when
+        # driver GC collects their RDD handles — and a 24g heap may not
+        # GC for hours, so a long session accumulates every query's
+        # shuffle output on disk (the sf10 scale run filled 80 GB of
+        # /tmp and died with ENOSPC on this exact mechanism). Force a
+        # periodic driver GC so cleanup tracks query churn, not heap
+        # pressure. Same knob applies on a real cluster's long-running
+        # drivers (default 30min is tuned for multi-TB cluster disks).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         # 16 MB (not the 128 MB default): testdata tables arrive as one
         # compressed file each, and a 30 MB parquet file holds 1M+ rows

@@ -60,6 +60,13 @@ def main() -> None:
               + (f" ERROR {errors[name][:120]}" if name in errors else ""),
               file=sys.stderr, flush=True)
         spark.catalog.clearCache()
+        # scale-point queries leave tens of GB of shuffle files behind;
+        # ContextCleaner only deletes them after a driver GC, so force
+        # one between queries (local disk is the scarce resource here)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     print(json.dumps({
         "metric": "bench_queries_total",
