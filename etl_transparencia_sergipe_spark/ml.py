@@ -56,6 +56,125 @@ def kmeans_clusters(df: DataFrame, feature_cols: list[str], k: int = 3,
     return model.transform(scaled).drop("features_raw", "features")
 
 
+def lloyd_int(X, k: int, max_iter: int = 60) -> list[tuple[int, ...]]:
+    """Integer-exact Lloyd on an (n, d) int64 array -> k centroids.
+
+    Pure integer arithmetic, so ANY correct implementation of this spec
+    produces bit-identical centroids (the DuckDB oracle re-implements it
+    with a different loop structure — plans/kmeans_oracle.py). Spec:
+    init = first k rows of X; assignment = argmin of integer squared
+    distance, ties -> lowest cluster id; new centroid = floor-division
+    of member sums; empty cluster keeps its centroid; stop when the
+    centroid matrix is unchanged (or at max_iter — both sides follow
+    the identical trajectory either way).
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.int64)
+    n, d = X.shape
+    cent = X[:k].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)  # first occurrence -> lowest cluster id
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, lab, X)
+        counts = np.bincount(lab, minlength=k)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] // counts[nz, None]  # int64 // floors
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return [tuple(int(v) for v in row) for row in cent]
+
+
+def kmeans_exact(df: DataFrame, feature_cols: list[str],
+                 key_expr: str, k: int = 3, max_iter: int = 60,
+                 max_train_rows: int = 65536) -> DataFrame:
+    """Deterministic INTEGER-EXACT K-Means -> input cols + cluster.
+
+    A6's notebook parity (k-means over standardized money features) with
+    a property MLlib/sklearn can't give: a bit-identical cross-engine
+    result, so the clustering is hash-verifiable against a DuckDB twin
+    (plans/kmeans_oracle.py). How:
+
+    - standardization stats come from exact DECIMAL(28,6) sums (the
+      q60-proven pattern); the mean/std doubles are computed driver-side
+      from those exact sums, so both engines hold the same constants;
+    - z-scores are quantized to int64 fixed-point
+      ``floor(((x-mean)/std)*1e6)`` — identical IEEE double ops on
+      identical inputs, then exact integer arithmetic everywhere after;
+    - training runs ``lloyd_int`` on a bounded DETERMINISTIC sample: the
+      first ``max_train_rows`` rows ordered by the portable
+      multiplicative hash ``(key * 2654435761) % 2^32`` (Knuth; exact
+      int64 arithmetic both engines share — unlike xxhash64, which
+      DuckDB lacks), tie-broken by ``key_expr`` (a caller-guaranteed
+      unique int64 row key). Below the cap (sf<=0.1 gate data) this IS
+      full-data Lloyd; above it, it is the FAISS coarse-quantizer
+      posture q63 already measures: nobody Lloyd-iterates 100 TB for k
+      centroids — train bounded, assign distributed;
+    - the single distributed pass is the assignment: argmin of integer
+      squared distances as a codegen CASE cascade (ties -> lowest
+      cluster id), then whatever aggregation the caller hangs on it.
+
+    Spark cost: one stats agg + one TakeOrdered sample collect + the
+    assignment scan — three jobs regardless of iteration count (the
+    per-iteration-per-job formulation this replaces spent 17 s at
+    sf0.01 on job latency alone).
+    """
+    import math as _math
+
+    stats_aggs = []
+    for c in feature_cols:
+        stats_aggs += [
+            F.sum(F.col(c).cast("decimal(28,6)")).cast("double")
+            .alias(f"{c}__s1"),
+            F.sum((F.col(c) * F.col(c)).cast("decimal(28,6)"))
+            .cast("double").alias(f"{c}__s2"),
+            F.count(c).alias(f"{c}__n"),
+        ]
+    srow = df.agg(*stats_aggs).collect()[0]
+
+    zcols = []
+    for i, c in enumerate(feature_cols):
+        n = srow[f"{c}__n"]
+        mean = srow[f"{c}__s1"] / n
+        std = _math.sqrt(srow[f"{c}__s2"] / n - mean * mean)
+        zcols.append(
+            F.floor(((F.col(c) - F.lit(mean)) / F.lit(std))
+                    * F.lit(1000000.0)).cast("bigint").alias(f"zq_{i}"))
+    d = len(feature_cols)
+
+    zq = df.select(*df.columns, *zcols)
+    sample = (
+        zq.select(
+            F.expr(f"pmod(({key_expr}) * 2654435761, 4294967296)")
+            .alias("_km_h"),
+            F.expr(key_expr).alias("_km_key"),
+            *[f"zq_{i}" for i in range(d)])
+        .orderBy("_km_h", "_km_key").limit(max_train_rows)
+        .collect()
+    )
+    X = [[int(r[f"zq_{i}"]) for i in range(d)] for r in sample]
+    cent = lloyd_int(X, k=k, max_iter=max_iter)
+
+    dists = []
+    for cj in cent:
+        expr = F.lit(0).cast("bigint")
+        for i in range(d):
+            diff = F.col(f"zq_{i}") - F.lit(int(cj[i]))
+            expr = expr + diff * diff
+        dists.append(expr)
+    best, bestd = F.lit(0), dists[0]
+    for j in range(1, k):
+        cond = dists[j] < bestd
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        bestd = F.when(cond, dists[j]).otherwise(bestd)
+
+    return zq.withColumn("cluster", best.cast("int")).drop(
+        *[f"zq_{i}" for i in range(d)])
+
+
 def correlation_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     """A5: pairwise Pearson correlation matrix as (col_a, col_b, corr)
     rows — the notebook's 7-column corr heatmap shape."""

@@ -370,38 +370,15 @@ def ivf_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                             query_pred=query_pred)
 
 
-def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
-                     vec_col: str = "embedding",
-                     seed: int = 42, id_col: str = "vec_id",
-                     max_train_rows: int = 65536,
-                     max_iter: int = 20) -> DataFrame:
-    """Trained coarse quantizer -> DataFrame[cell, cvec]. The
-    real-pipeline replacement for ``ivf_topk``'s lowest-id seeding;
-    reference k-means precedent is data_science.ipynb:99 (k=3,
-    random_state=42).
-
-    Training follows the FAISS posture: the coarse quantizer is fit on a
-    bounded DETERMINISTIC sample (hash-ordered by ``xxhash64(id)``, first
-    ``max_train_rows`` rows — stable across partitionings and cluster
-    sizes), collected driver-side, and Lloyd-iterated in numpy. At 100 TB
-    nobody trains a C-centroid quantizer with distributed Lloyd passes
-    over the full corpus: the sample bound makes training O(sample x dim)
-    on the driver — milliseconds — while assignment (the part that IS
-    corpus-sized) stays distributed in ``_ivf_cell_search``. The previous
-    MLlib KMeans formulation spent ~6 s of q63's 8.6 s sf1 wall on
-    k-means|| init + per-iteration job overhead for the same 16
-    centroids. Seeded numpy init + fixed iteration cap keep the result
-    reproducible.
-    """
+def lloyd_float(X, n_cells: int, seed: int = 42, max_iter: int = 20):
+    """Seeded numpy Lloyd over an (n, dim) float64 sample -> (C, dim)
+    centroid array. Module-level so the DuckDB oracle
+    (plans/similarity_queries.py q63) trains the SAME quantizer from the
+    same sample and verifies the distributed SEARCH independently —
+    training is a shared deterministic constant, like the hyperplanes of
+    the SRP-LSH tier."""
     import numpy as np
 
-    sample = (
-        corpus.selectExpr(f"{vec_col} AS v",
-                          f"xxhash64({id_col}) AS h")
-        .orderBy("h").limit(max_train_rows)
-    )
-    X = np.stack([np.asarray(r["v"], dtype=np.float64)
-                  for r in sample.collect()])
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=n_cells, replace=False)]
     for _ in range(max_iter):
@@ -420,6 +397,49 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
         if np.array_equal(new, cent):
             break
         cent = new
+    return cent
+
+
+# portable multiplicative sample hash (Knuth): exact int64 arithmetic
+# any engine can reproduce (DuckDB lacks xxhash64, which this replaced)
+SAMPLE_HASH = "({id} * 2654435761) % 4294967296"
+
+
+def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
+                     vec_col: str = "embedding",
+                     seed: int = 42, id_col: str = "vec_id",
+                     max_train_rows: int = 65536,
+                     max_iter: int = 20) -> DataFrame:
+    """Trained coarse quantizer -> DataFrame[cell, cvec]. The
+    real-pipeline replacement for ``ivf_topk``'s lowest-id seeding;
+    reference k-means precedent is data_science.ipynb:99 (k=3,
+    random_state=42).
+
+    Training follows the FAISS posture: the coarse quantizer is fit on a
+    bounded DETERMINISTIC sample (ordered by the portable multiplicative
+    hash ``SAMPLE_HASH`` with an id tiebreak, first ``max_train_rows``
+    rows — stable across partitionings, cluster sizes, and engines),
+    collected driver-side, and Lloyd-iterated in numpy (``lloyd_float``).
+    At 100 TB nobody trains a C-centroid quantizer with distributed Lloyd
+    passes over the full corpus: the sample bound makes training
+    O(sample x dim) on the driver — milliseconds — while assignment (the
+    part that IS corpus-sized) stays distributed in ``_ivf_cell_search``.
+    The previous MLlib KMeans formulation spent ~6 s of q63's 8.6 s sf1
+    wall on k-means|| init + per-iteration job overhead for the same 16
+    centroids. Seeded numpy init + fixed iteration cap keep the result
+    reproducible.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.selectExpr(f"{vec_col} AS v",
+                          SAMPLE_HASH.format(id=id_col) + " AS h",
+                          f"{id_col} AS tid")
+        .orderBy("h", "tid").limit(max_train_rows)
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64)
+                  for r in sample.collect()])
+    cent = lloyd_float(X, n_cells=n_cells, seed=seed, max_iter=max_iter)
     rows = [(i, [float(x) for x in cent[i]]) for i in range(n_cells)]
     return corpus.sparkSession.createDataFrame(
         rows, "cell bigint, cvec array<double>")
@@ -550,15 +570,20 @@ def _ivf_cell_search(corpus: DataFrame, cent: DataFrame, k: int,
 def ivf_topk_duck(table: str, k: int = 5, n_cells: int = 16,
                   nprobe: int = 4, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  query_pred: str = "vec_id < 8") -> str:
-    """DuckDB oracle SQL equivalent of :func:`ivf_topk`."""
+                  query_pred: str = "vec_id < 8",
+                  cent_sql: str | None = None) -> str:
+    """DuckDB oracle SQL equivalent of :func:`ivf_topk`. ``cent_sql``
+    overrides the centroid CTE body (q63 injects trained centroids as
+    literals; default is ivf_topk's lowest-id seeding)."""
     d_assign = f"1.0 - ({cosine_expr_duck('b.cv', 'ct.cvec')})"
     d_probe = f"1.0 - ({cosine_expr_duck('q.cv', 'ct.cvec')})"
     cos = cosine_expr_duck("p.qv", "a.cv")
+    if cent_sql is None:
+        cent_sql = (f"SELECT {id_col} AS cell, {vec_col} AS cvec "
+                    f"FROM {table} ORDER BY {id_col} LIMIT {n_cells}")
     return f"""
     WITH cent AS (
-        SELECT {id_col} AS cell, {vec_col} AS cvec FROM {table}
-        ORDER BY {id_col} LIMIT {n_cells}
+        {cent_sql}
     ), b AS (
         SELECT {id_col} AS neighbor_id, {vec_col} AS cv,
                ({query_pred}) AS is_query

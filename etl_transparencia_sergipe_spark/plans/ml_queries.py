@@ -1,10 +1,11 @@
 """ML-parity + multimodal queries (A4-A6, §3.3; north-star multimodal).
 
-KMeans is not SQL-expressible -> rows-only check (driver contract permits
-this, __spark_entry__ docstring). Scaler stats and correlation ARE
-expressible from exact decimal sums, so they get full oracles. Multimodal
-metadata is expressible (byte length/md5 over the text-derived payload);
-the mapInPandas feature extraction is rows-only.
+Everything here is hash-verified against a DuckDB twin. Scaler stats and
+correlation come from exact decimal sums; the multimodal mapInPandas
+stages (q70 metadata, q71 features, q91 aHash) are twinned via hex()
+byte extraction of the same payloads; q62's K-Means is the round-5
+integer-exact Lloyd (plans/kmeans_oracle.py) so even the iterative
+clustering has a cross-engine oracle.
 """
 
 from __future__ import annotations
@@ -12,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_transparencia_sergipe_spark.ml import kmeans_clusters, scaler_stats
+from etl_transparencia_sergipe_spark.ml import kmeans_exact, scaler_stats
+from etl_transparencia_sergipe_spark.plans.kmeans_oracle import (
+    kmeans_oracle_duck,
+)
 from etl_transparencia_sergipe_spark.plans._helpers import load
 from etl_transparencia_sergipe_spark.plans.registry import register
 from etl_transparencia_sergipe_spark.sources.multimodal import (
@@ -75,21 +79,41 @@ def q61_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_KM_FEATS = ["l_quantity", "l_extendedprice", "l_discount"]
+# unique int64 row key (l_linenumber is 1..7): drives the portable
+# multiplicative-hash sample order shared with the oracle
+_KM_KEY = "l_orderkey * 8 + l_linenumber"
+
+
 @register(
     "q62_kmeans_clusters",
-    oracle=None,  # iterative algorithm — rows-only check (3 stable rows)
-    doc="A6 KMeans k=3 seed=42 over scaled (quantity, price, discount) — "
-        "cluster cardinality + per-cluster means (data_science.ipynb:99-100)",
+    # The iteration count is data-dependent, so there is no pure-SQL
+    # form; the hash check runs through the oracle_py hook instead
+    # (plans/kmeans_oracle.py — DuckDB executes every data-sized step
+    # of the same deterministic integer-exact Lloyd spec). Upgraded
+    # from rows-only in round 5. The MLlib KMeans operator
+    # (ml.kmeans_clusters) remains as the A6 library-parity path with
+    # its own determinism tests; this query runs the exact variant so
+    # the clustering itself is cross-engine verified.
+    oracle=None,
+    oracle_py=lambda con: kmeans_oracle_duck(
+        con, _KM_FEATS, _KM_KEY, "l_quantity"),
+    doc="A6 K-Means k=3 over standardized (quantity, price, discount) — "
+        "cluster cardinality + per-cluster exact-decimal mean quantity "
+        "(data_science.ipynb:99-100), via integer-exact Lloyd (bounded "
+        "deterministic training sample, one distributed assignment "
+        "pass) so the clustering hash-matches the DuckDB twin",
 )
 def q62_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).select(
-        "l_quantity", "l_extendedprice", "l_discount")
-    clustered = kmeans_clusters(
-        li, ["l_quantity", "l_extendedprice", "l_discount"], k=3, seed=42)
+        "l_orderkey", "l_linenumber", *_KM_FEATS)
+    clustered = kmeans_exact(li, _KM_FEATS, _KM_KEY, k=3)
     return (
         clustered.groupBy("cluster")
-        .agg(F.count("*").alias("n"),
-             F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.round(
+                 F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                 .cast("double") / F.count("*"), 4).alias("avg_qty"))
         .orderBy("cluster")
     )
 
@@ -119,9 +143,49 @@ def q70_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_multimodal_features",
-    oracle=None,  # mapInPandas decode stage — rows-only check
+    # Full SQL twin of the mapInPandas fake-decode stage (round 5,
+    # upgraded from rows-only): per-payload feat_mean = byte_sum/len is
+    # two exact int->double conversions and one IEEE division, so both
+    # engines produce identical doubles; the group mean is made
+    # order-independent by summing floor(feat_mean*1e6) as BIGINT (the
+    # q69 quantized-mean pattern) instead of averaging doubles in
+    # whatever order the shuffle delivers them. Byte extraction reuses
+    # the q91 hex() trick.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image/png','audio/wav','video/mp4']
+                   [CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ), b AS (
+        SELECT media_id, media_type, nb,
+               list_sum(list_transform(range(1, 2*nb+1, 2), p ->
+                   (strpos('0123456789ABCDEF',
+                           substring(hx, CAST(p AS INT), 1))-1)*16
+                   + strpos('0123456789ABCDEF',
+                            substring(hx, CAST(p AS INT)+1, 1))-1))
+                   AS byte_sum
+        FROM m
+    ), f AS (
+        SELECT media_type,
+               CASE WHEN nb = 0 THEN 0.0
+                    ELSE CAST(byte_sum AS DOUBLE) / nb END AS feat_mean,
+               LEAST(nb, 2048) AS feat_dim
+        FROM b
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(floor(feat_mean * 1000000) AS BIGINT))
+                      AS DOUBLE) / (COUNT(*) * 1000000.0), 4) AS avg_feat,
+           CAST(MAX(feat_dim) AS INT) AS max_dim
+    FROM f GROUP BY media_type ORDER BY media_type
+    """,
     doc="multimodal feature extraction via Arrow mapInPandas (stubbed "
-        "decoder; real Spark plumbing) [EXT]",
+        "decoder; real Spark plumbing); group mean quantized to 1e-6 "
+        "before summing so the aggregate is shuffle-order-independent "
+        "and hash-twinnable [EXT]",
 )
 def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
@@ -129,7 +193,10 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("feat_mean"), 4).alias("avg_feat"),
+        F.round(
+            F.sum(F.floor(F.col("feat_mean") * F.lit(1000000.0))
+                  .cast("bigint")).cast("double")
+            / (F.count("*") * F.lit(1000000.0)), 4).alias("avg_feat"),
         F.max("feat_dim").alias("max_dim"),
     )
 

@@ -106,11 +106,14 @@ _LOADED = False
 # queries never driver-certified across r01-r04 — enter the window so
 # every registered query has earned a driver row at least once. q91 is
 # newly hash-backed (integer aHash + full SQL oracle, r4 VERDICT item
-# 6); q63/q92 are rows-only by contract (the driver records a weaker
-# rows-only row — it handled those in r01/r02). They displace q20, q22,
-# q30 (driver-green hash rows in r03 AND r04, implementations
-# unchanged; all three stay hash-verified in the local gate every
-# round).
+# 6); q63/q92 are rows-only by DRIVER contract (no pure-SQL oracle;
+# the driver records a weaker rows-only row — it handled those in
+# r01/r02). They displace q20, q22, q30 (driver-green hash rows in r03
+# AND r04, implementations unchanged; all three stay hash-verified in
+# the local gate every round). Late round 5: q62/q63/q71 gained local
+# hash verification too (oracle_py twins / q71 full SQL), leaving only
+# q29/q43/q92 rows-only locally — all approximate or engine-internal
+# by design, each with a documented twin or self-report.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",

@@ -120,17 +120,71 @@ def q42_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_block_pairs(emb, "label", threshold=0.4)
 
 
+def _q63_oracle(con):
+    """DuckDB twin for q63 (round 5, upgraded from rows-only): the
+    quantizer is trained from the SAME deterministic spec — DuckDB
+    supplies the hash-ordered sample (portable multiplicative hash,
+    ``similarity.SAMPLE_HASH``) and ``lloyd_float`` turns it into the
+    identical centroid constants the Spark side broadcasts (training is
+    a shared deterministic constant, like the SRP hyperplanes the
+    q44/q45 oracles share). The SEARCH — cell assignment, probe
+    selection, candidate join, exact re-ranking, recall join — is then
+    verified end-to-end in pure DuckDB SQL: the trained centroids are
+    injected as literals into the same q46-proven ivf_topk_duck SQL,
+    wrapped with the brute-force-exact recall join."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+        cosine_topk_duck,
+        ivf_topk_duck,
+        lloyd_float,
+    )
+
+    h = SAMPLE_HASH.format(id="vec_id")
+    rows = con.execute(
+        f"SELECT embedding FROM embeddings "
+        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    cent = lloyd_float(X, n_cells=16, seed=42, max_iter=20)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in cent[i])}]::DOUBLE[])"
+        for i in range(len(cent)))
+    cent_sql = f"SELECT * FROM (VALUES {vals}) AS t(cell, cvec)"
+    ann_sql = ivf_topk_duck("embeddings", k=5, n_cells=16, nprobe=4,
+                            cent_sql=cent_sql)
+    exact_sql = cosine_topk_duck("embeddings", k=5)
+    return con.execute(f"""
+        WITH ann AS ({ann_sql}),
+             exact AS (SELECT query_id, neighbor_id FROM ({exact_sql}))
+        SELECT ann.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+                   AS recall_at_5
+        FROM ann LEFT JOIN exact e
+          ON e.query_id = ann.query_id
+         AND e.neighbor_id = ann.neighbor_id
+        GROUP BY ann.query_id ORDER BY ann.query_id
+    """).fetchdf()
+
+
 @register(
     "q63_ivf_trained_topk",
-    oracle=None,  # k-means training isn't SQL-expressible — rows-only
-    doc="J6 IVF ANN with a TRAINED coarse quantizer: MLlib KMeans "
-        "(k=16, seed=42; reference k-means precedent "
-        "data_science.ipynb:99) learns balanced Voronoi centroids, then "
-        "the exact same broadcast cell-search plan as the oracle-checked "
-        "q46 runs over them. Output self-reports recall@5 against the "
-        "exact brute-force top-5 (a semi-join inside the same plan), so "
-        "the rows-only gate still certifies ANN QUALITY, not just shape "
-        "[EXT]",
+    # training's iteration count and RNG init aren't SQL-expressible, so
+    # there is no pure-SQL driver oracle; locally the oracle_py hook
+    # verifies the full search plan in DuckDB SQL with the trained
+    # centroids injected as literals (_q63_oracle above)
+    oracle=None,
+    oracle_py=_q63_oracle,
+    doc="J6 IVF ANN with a TRAINED coarse quantizer: seeded numpy Lloyd "
+        "over a bounded portable-hash-ordered sample (FAISS posture; "
+        "reference k-means precedent data_science.ipynb:99) learns "
+        "balanced Voronoi centroids, then the exact same broadcast "
+        "cell-search plan as the oracle-checked q46 runs over them. "
+        "Output self-reports recall@5 against the exact brute-force "
+        "top-5 (a semi-join inside the same plan), and the whole search "
+        "is hash-verified against a literal-centroid DuckDB twin [EXT]",
 )
 def q63_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_transparencia_sergipe_spark.operators.similarity import (

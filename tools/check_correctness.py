@@ -85,7 +85,9 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         t_spark = time.time() - t0
-        if name not in oracles:
+        qd = registry.REGISTRY.get(name)
+        has_py_oracle = qd is not None and qd.oracle_py is not None
+        if name not in oracles and not has_py_oracle:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) "
                   f"[{t_spark:.1f}s]")
             continue
@@ -93,10 +95,11 @@ def main() -> int:
         try:
             # per-query python oracle override (registry.QueryDef
             # .oracle_py): same semantics as the SQL oracle, tractable
-            # complexity at sf>=1 (q38/q39's iterative CC oracle); the
-            # driver still runs the SQL form at sf0.01
-            qd = registry.REGISTRY.get(name)
-            if qd is not None and qd.oracle_py is not None:
+            # complexity at sf>=1 (q38/q39's iterative CC oracle) or no
+            # pure-SQL form at all (q62's data-dependent iteration
+            # count); where a SQL form exists the driver still runs it
+            # at sf0.01
+            if has_py_oracle:
                 odf = qd.oracle_py(con)
             else:
                 odf = con.execute(oracles[name]).fetchdf()
