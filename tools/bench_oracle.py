@@ -37,7 +37,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracles = entrymod.oracle_sql()
-    names = [n for n in bench_names(entrymod.queries()) if n in oracles]
+
+    def has_oracle(n: str) -> bool:
+        qd = registry.REGISTRY.get(n)
+        return n in oracles or (qd is not None and qd.oracle_py is not None)
+
+    names = [n for n in bench_names(entrymod.queries()) if has_oracle(n)]
 
     def run(n: str) -> None:
         qd = registry.REGISTRY.get(n)
