@@ -33,10 +33,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     cheap ``localCheckpoint()`` is used.
     """
 
-    def truncate(df: DataFrame) -> DataFrame:
+    def truncate(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -66,6 +66,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 "node",
                 F.least("component", F.coalesce("nbr_min", "component"))
                 .alias("component"),
+                # carry the round-start label so the convergence test is
+                # a filter over this round's frame, not a second
+                # join-job against the previous labels
+                F.col("component").alias("old_component"),
             )
         )
         # path halving (pointer jumping): follow component -> its
@@ -79,17 +83,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 "node",
                 F.least("component", F.coalesce("grand", "component"))
                 .alias("component"),
+                "old_component",
             )
             # truncate lineage: each round otherwise stacks joins on the
-            # previous round's plan until planning/execution blows up
-            .transform(truncate)
+            # previous round's plan until planning/execution blows up.
+            # LAZY: the count() below is the materializing action, so
+            # each round runs exactly ONE job (checkpoint write + diff
+            # count together) instead of checkpoint + join + take(1)
+            .transform(lambda df: truncate(df, eager=False))
         )
-        changed = (
-            updated.alias("u").join(labels.alias("l"), "node")
-            .filter("u.component != l.component").take(1)
-        )
-        labels = updated
-        if not changed:
+        changed = updated.filter("component != old_component").count()
+        labels = updated.select("node", "component")
+        if changed == 0:
             break
     # the final labels are checkpointed (self-contained), so the edge
     # cache is dead weight from here — drop it eagerly rather than
