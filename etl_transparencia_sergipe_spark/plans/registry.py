@@ -113,7 +113,13 @@ _LOADED = False
 # the local gate every round). Late round 5: q62/q63/q71 gained local
 # hash verification too (oracle_py twins / q71 full SQL), leaving only
 # q29/q43/q92 rows-only locally — all approximate or engine-internal
-# by design, each with a documented twin or self-report.
+# by design, each with a documented twin or self-report. q71's output
+# changed with the upgrade (quantized order-independent mean) and it
+# now has a pure-SQL oracle, so it rotates into the window for a
+# driver HASH row, displacing q67 (driver-green hash rows r03 AND
+# r04, unchanged). q62's output also changed but has no pure-SQL form
+# (a second rows-only driver row adds nothing over its r01-r04 ones);
+# it stays extended-tier, hash-verified in the local gate.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -127,8 +133,8 @@ HEADLINE_50: tuple[str, ...] = (
     "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
     "q57_pack_chunks",
     "q64_decontamination", "q65_domain_mixture", "q66_repetition_ratio",
-    "q67_corr_series", "q68_mixture_sample", "q69_embedding_dim_stats",
-    "q70_multimodal_metadata",
+    "q68_mixture_sample", "q69_embedding_dim_stats",
+    "q70_multimodal_metadata", "q71_multimodal_features",
     "q72_boilerplate_rules",
     "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
     "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
