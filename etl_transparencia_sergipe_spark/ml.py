@@ -146,13 +146,20 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
     d = len(feature_cols)
 
     zq = df.select(*df.columns, *zcols)
+    # sort key: (hash, key, zq...) — the zq columns make the order
+    # semantically total even when key_expr is NOT unique (the sf10
+    # generator emits duplicate (orderkey, linenumber) pairs, which
+    # permuted the two engines' Lloyd inits and swapped cluster labels
+    # — caught by the sf10 gate). Rows tying on the FULL tuple are
+    # identical vectors, so either pick yields the same sample content.
     sample = (
         zq.select(
             F.expr(f"pmod(({key_expr}) * 2654435761, 4294967296)")
             .alias("_km_h"),
             F.expr(key_expr).alias("_km_key"),
             *[f"zq_{i}" for i in range(d)])
-        .orderBy("_km_h", "_km_key").limit(max_train_rows)
+        .orderBy("_km_h", "_km_key", *[f"zq_{i}" for i in range(d)])
+        .limit(max_train_rows)
         .collect()
     )
     X = [[int(r[f"zq_{i}"]) for i in range(d)] for r in sample]

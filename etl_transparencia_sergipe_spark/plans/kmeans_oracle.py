@@ -95,9 +95,12 @@ def kmeans_oracle_duck(con, feature_cols: list[str], key_sql: str,
                (({key_sql}) * 2654435761) % 4294967296 AS km_h
         FROM {table}
     """)
+    zq_cols = ", ".join(f"zq_{i}" for i in range(d))
+    # (hash, key, zq...) — same semantically-total order as the Spark
+    # side (key_expr need not be unique; see ml.kmeans_exact)
     sample = con.execute(
-        f"SELECT {', '.join(f'zq_{i}' for i in range(d))} "
-        f"FROM _km_zq ORDER BY km_h, km_key "
+        f"SELECT {zq_cols} FROM _km_zq "
+        f"ORDER BY km_h, km_key, {zq_cols} "
         f"LIMIT {max_train_rows}").fetchall()
     cent = _lloyd_int_independent(
         [list(row) for row in sample], k=k, max_iter=max_iter)
