@@ -103,6 +103,63 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels
 
 
+def incremental_components(labels: DataFrame, new_pairs: DataFrame,
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           checkpoint_dir: str | None = None) -> DataFrame:
+    """Fold a NEW batch's edges into STORED component labels without
+    re-running label propagation over the historical graph.
+
+    ``labels`` is the persisted DataFrame[node, component] of a prior
+    :func:`connected_components` run (component = min member id);
+    ``new_pairs`` are the edges a new ingest batch introduced (new x new
+    plus new x old — an old x old edge would already be in the stored
+    graph). Returns the updated DataFrame[node, component] over stored
+    nodes plus the new edges' endpoints.
+
+    Shape: CONTRACTION. Each new edge's endpoints are mapped to their
+    super-node (stored label for old nodes, own id for new), label
+    propagation runs over that contracted graph — whose size is the
+    number of TOUCHED components, not nodes — and the resulting
+    mapping is applied back to the stored labels with one join. Because
+    a stored label is the min member id of its component and min is
+    associative, the contracted min-label equals the min member id of
+    the merged component: the output is bit-identical to re-running
+    connected_components over old_edges UNION new_edges (asserted in
+    tests/test_components.py), while the historical edge list is never
+    read. At 100 TB the stored labels stream through one
+    broadcast-sized join; only the new batch's edges shuffle.
+    """
+    e = new_pairs.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
+    la = labels.selectExpr("node AS a", "component AS ca")
+    lb = labels.selectExpr("node AS b", "component AS cb")
+    contracted = (
+        e.join(la, "a", "left").join(lb, "b", "left")
+        .select(F.coalesce("ca", F.col("a")).alias("id_a"),
+                F.coalesce("cb", F.col("b")).alias("id_b"))
+        # an edge inside one existing component contracts to a self-loop
+        .filter("id_a != id_b")
+    )
+    mapping = connected_components(contracted, "id_a", "id_b",
+                                   checkpoint_dir=checkpoint_dir)
+    # endpoints the store has never seen label themselves (new docs)
+    new_nodes = (
+        e.selectExpr("a AS node").union(e.selectExpr("b AS node"))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    all_labels = labels.unionByName(new_nodes)
+    # mapping covers only touched super-nodes: a broadcast-sized dim the
+    # full label table left-joins map-side (untouched components pass
+    # through unchanged via the coalesce)
+    relabel = mapping.selectExpr("node AS component", "component AS final")
+    return (
+        all_labels.join(relabel, "component", "left")
+        .select("node",
+                F.coalesce("final", "component").alias("component"))
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b",
                    checkpoint_dir: str | None = None) -> DataFrame:

@@ -595,3 +595,182 @@ def q81_sigstore_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_matches"),
              F.max("n_agree").alias("max_agree"))
     )
+
+
+# --- q97: incremental connected components (contraction update) -----------
+
+_Q97_FLAGS = ("SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new"
+              " FROM documents")
+
+_Q97_SUMMARY = """
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN f.is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_members,
+           CAST(COUNT(DISTINCT o.component) AS BIGINT) AS n_old_labels
+    FROM {cc} c
+    JOIN ({flags}) f ON f.doc_id = c.node
+    LEFT JOIN {old_cc} o ON o.node = c.node
+    GROUP BY c.component
+    HAVING SUM(CASE WHEN f.is_new THEN 1 ELSE 0 END) > 0
+"""
+
+
+def _q97_oracle_py(con):
+    """Fast local oracle: iterative label propagation (plans/cc_oracle)
+    over the OLD-only graph and the FULL graph — the incremental update's
+    result provably equals the full recompute (min-label contraction), so
+    the oracle verifies against the ground-truth full partition. Runs the
+    full graph LAST so the connection's CC cache stays warm for q38/q39
+    (they share _CC_PAIRS_SQL)."""
+    from etl_transparencia_sergipe_spark.plans.cc_oracle import (
+        cc_labels_duck,
+    )
+
+    con.execute("CREATE OR REPLACE TEMP VIEW _q97_old_docs AS "
+                "SELECT * FROM documents "
+                "WHERE CAST(SUBSTR(source, 4) AS INT) < 15")
+    old_sql = minhash_lsh_pairs_duck('_q97_old_docs', 'doc_id', 'text',
+                                     k=16, bands=4, threshold=0.4)
+    t = cc_labels_duck(con, old_sql)
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _q97_old_cc AS "
+                f"SELECT * FROM {t}")
+    t = cc_labels_duck(con, _CC_PAIRS_SQL)
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _q97_cc AS "
+                f"SELECT * FROM {t}")
+    return con.execute(_Q97_SUMMARY.format(
+        cc="_q97_cc", old_cc="_q97_old_cc", flags=_Q97_FLAGS)).fetchdf()
+
+
+@register(
+    "q97_incremental_cc",
+    oracle_py=_q97_oracle_py,
+    oracle=f"""
+    WITH RECURSIVE flags AS ({_Q97_FLAGS}),
+    pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS m FROM edges
+        UNION
+        SELECT src AS node, dst AS m FROM edges
+        UNION
+        SELECT r.node, e.dst AS m
+        FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node),
+    old_pairs AS (
+        SELECT p.id_a, p.id_b FROM pairs p
+        JOIN flags fa ON fa.doc_id = p.id_a
+        JOIN flags fb ON fb.doc_id = p.id_b
+        WHERE NOT fa.is_new AND NOT fb.is_new
+    ),
+    old_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM old_pairs
+        UNION
+        SELECT id_b, id_a FROM old_pairs
+    ),
+    old_reach AS (
+        SELECT src AS node, src AS m FROM old_edges
+        UNION
+        SELECT src AS node, dst AS m FROM old_edges
+        UNION
+        SELECT r.node, e.dst AS m
+        FROM old_reach r JOIN old_edges e ON r.m = e.src
+    ),
+    old_cc AS (SELECT node, MIN(m) AS component FROM old_reach
+               GROUP BY node)
+    {_Q97_SUMMARY.format(cc="cc", old_cc="old_cc",
+                         flags="SELECT * FROM flags")}
+    """,
+    doc="P9/P10 INCREMENTAL connected components [EXT]: stored labels "
+        "(src0-14's near-dup graph, the persisted q38 state) are updated "
+        "with a new ingest batch's edges (src15+, found via the q79-style "
+        "asymmetric band join) by CONTRACTION — label propagation runs "
+        "over the touched-component graph only, then one broadcast join "
+        "relabels the store (operators/components.py "
+        "incremental_components). Min-label is associative, so the "
+        "incremental result is bit-identical to recomputing components "
+        "over the union graph — which is exactly what the oracle does "
+        "(full + old-only label propagation in DuckDB). Output: every "
+        "component touched by the new batch, its size, its new-member "
+        "count, and how many pre-existing clusters the batch merged. At "
+        "100 TB the historical edge list is never re-read: old-side work "
+        "is one column-pruned label-table scan, and only new edges "
+        "shuffle.",
+)
+def q97_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+    from etl_transparencia_sergipe_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        shingle_rows,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    flags = docs.selectExpr(
+        "doc_id AS node",
+        "CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new")
+    # one signature pass over the corpus (in production src0-14's rows
+    # come from the persisted store — operators/sigstore.py; recomputing
+    # them here keeps the query self-contained per sf_dir)
+    tok = shingle_rows(docs, "doc_id", "text", 3).selectExpr(
+        "doc_id", f"{h60_spark('s')} % {MERSENNE} AS h")
+    sig = tok.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE}"))
+        .alias(f"mh{i}")
+        for i in range(16)
+    ]).join(flags.withColumnRenamed("node", "doc_id"), "doc_id") \
+        .transform(persist_scoped)
+    band_structs = ", ".join(
+        "struct({b} AS band_id, {h} AS band_hash)".format(
+            b=b,
+            h=h60_spark("concat_ws('_', " + ", ".join(
+                f"mh{b * 4 + j}" for j in range(4)) + ")"))
+        for b in range(4))
+    banded = sig.selectExpr(
+        "doc_id", "is_new", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "is_new", "band.band_id", "band.band_hash")
+    x, y = banded.alias("x"), banded.alias("y")
+    # is_new_edge splits the candidate set: old x old edges belong to the
+    # STORED graph; an edge with >= 1 new endpoint is what the new batch
+    # introduces (band collision depends only on the two docs' text, so
+    # this split is exact — old-corpus LSH == full-corpus LSH ∩ old x old)
+    cand = (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_hash") == F.col("y.band_hash"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"),
+                (F.col("x.is_new") | F.col("y.is_new"))
+                .alias("is_new_edge"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        jaccard_verify_pairs(docs, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", "is_new_edge")
+        .transform(persist_scoped)
+    )
+    stored = connected_components(verified.filter("NOT is_new_edge"))
+    updated = incremental_components(
+        stored, verified.filter("is_new_edge"))
+    return (
+        updated
+        .join(flags, "node")
+        .join(stored.selectExpr("node", "component AS old_component"),
+              "node", "left")
+        .groupBy("component")
+        .agg(F.count("*").cast("bigint").alias("n_members"),
+             F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+             .cast("bigint").alias("n_new_members"),
+             F.countDistinct("old_component").cast("bigint")
+             .alias("n_old_labels"))
+        .filter("n_new_members > 0")
+    )

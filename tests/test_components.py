@@ -71,3 +71,58 @@ def test_components_log_diameter_convergence(spark):
            for r in connected_components(pairs, max_iter=8).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 257
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Contraction update == full recompute over the union graph, on a
+    graph engineered to hit every case: two old components merged by a
+    new edge, a new node absorbed into an old component, a new-only
+    component, an untouched old component, and an intra-component new
+    edge (contracts to a self-loop)."""
+    from etl_transparencia_sergipe_spark.operators.components import (
+        incremental_components,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "id_a bigint, id_b bigint")
+    new_pairs = spark.createDataFrame(
+        [
+            (3, 10),    # merges old components 1 and 10
+            (21, 40),   # new node 40 absorbed into old component 20
+            (50, 51),   # brand-new component
+            (30, 31),   # duplicate of a stored edge: self-loop, no-op
+        ],
+        "id_a bigint, id_b bigint")
+    stored = connected_components(old_pairs)
+    got = {r.node: r.component
+           for r in incremental_components(stored, new_pairs).collect()}
+    want = {r.node: r.component
+            for r in connected_components(
+                old_pairs.unionByName(new_pairs)).collect()}
+    assert got == want
+    assert got[40] == 20 and got[10] == 1 and got[50] == 50
+    assert got[30] == 30  # untouched component label survived
+
+
+def test_incremental_components_deep_merge_chain(spark):
+    """A new batch that chains MANY stored components together: the
+    contracted graph is itself a long chain, so the inner label
+    propagation must converge over it (log-diameter rounds)."""
+    from etl_transparencia_sergipe_spark.operators.components import (
+        incremental_components,
+    )
+
+    # 40 disjoint stored pairs (2i, 2i+1), i in 0..39
+    old_pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(40)],
+        "id_a bigint, id_b bigint")
+    # new edges daisy-chain all 40 components: (1,2), (3,4), ...
+    new_pairs = spark.createDataFrame(
+        [(2 * i + 1, 2 * i + 2) for i in range(39)],
+        "id_a bigint, id_b bigint")
+    stored = connected_components(old_pairs)
+    got = {r.node: r.component
+           for r in incremental_components(stored, new_pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 80
