@@ -638,3 +638,387 @@ def cosine_topk_duck(table: str, k: int = 5, id_col: str = "vec_id",
          )
     SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42, max_train_rows: int = 65536):
+    """Train PQ codebooks -> numpy (m, ksub, dim/m) float64.
+
+    The FAISS PQ posture: split the vector into ``m`` subspaces and run
+    an independent k-means (``lloyd_float``, seeded) per subspace over
+    the same bounded portable-hash-ordered sample ``kmeans_centroids``
+    uses — training is a shared deterministic constant the DuckDB twin
+    reproduces exactly, and it is O(sample x dim) on the driver
+    regardless of corpus size."""
+    import numpy as np
+
+    sample = (
+        corpus.selectExpr(f"{vec_col} AS v",
+                          SAMPLE_HASH.format(id=id_col) + " AS h",
+                          f"{id_col} AS tid")
+        .orderBy("h", "tid").limit(max_train_rows)
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64)
+                  for r in sample.collect()])
+    dim = X.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    return np.stack([
+        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                    seed=seed)
+        for mm in range(m)
+    ])
+
+
+def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector to m uint8 codes -> DataFrame[vec_id, c0..c{m-1}].
+
+    One vectorized mapInPandas pass per corpus partition (the codebooks
+    travel in the UDF closure — O(m x ksub x dsub) bytes per executor);
+    no shuffle, no row expansion. This frame is the PERSISTABLE compressed
+    index: m bytes per vector vs m*dsub floats raw (64x at dim=64, m=8) —
+    at 100 TB the ADC search scans THIS, column-pruned, never the raw
+    vectors. Subspace distances accumulate per-dimension sequentially so
+    ties and floats are bit-identical to the DuckDB twin; argmin takes the
+    first (lowest-j) minimum, matching ROW_NUMBER ... ORDER BY d, j.
+    """
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+
+    schema = (f"{id_col} bigint, "
+              + ", ".join(f"c{mm} int" for mm in range(m)))
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["_v"]])
+            cols = {id_col: pdf["_id"]}
+            for mm in range(m):
+                d2 = np.zeros((len(pdf), ksub))
+                for d in range(dsub):
+                    diff = M[:, mm * dsub + d:mm * dsub + d + 1] \
+                        - books[mm][None, :, d]
+                    d2 = d2 + diff * diff
+                cols[f"c{mm}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(cols)
+
+    return (corpus.selectExpr(f"{id_col} AS _id", f"{vec_col} AS _v")
+            .mapInPandas(enc, schema=schema))
+
+
+def pq_query_luts(spark, queries, books):
+    """ADC lookup tables for a (small, collected) query set ->
+    DataFrame[query_id, l array<double>] where l is the m*ksub distance
+    table flattened in (m, j) order: l[m*ksub + j] = ||q_m - c_{m,j}||^2.
+    Accumulation order matches pq_encode / the DuckDB twin."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    rows = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        flat = []
+        for mm in range(m):
+            lut = np.zeros(ksub)
+            for d in range(dsub):
+                diff = q[mm * dsub + d] - books[mm][:, d]
+                lut = lut + diff * diff
+            flat.extend(float(x) for x in lut)
+        rows.append((int(qid), flat))
+    return spark.createDataFrame(rows, "query_id bigint, l array<double>")
+
+
+def pq_topk(corpus: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_pred: str = "vec_id < 8", seed: int = 42) -> DataFrame:
+    """PQ-ADC approximate top-k: encode the corpus to m-byte codes, then
+    rank candidates by asymmetric distance — the query's per-subspace
+    lookup table indexed by each code, summed left-to-right in pure
+    codegen (element_at + adds; no UDF on the corpus-sized path).
+
+    Returns DataFrame[query_id, neighbor_id, rank, adc] (no self-pairs).
+    Scale shape: the scan reads m ints per vector (the compressed index),
+    the LUT frame is |Q| rows broadcast, and the only corpus-sized
+    exchange is the skinny (query_id, neighbor_id, adc) top-k window —
+    composable with the IVF cells of q63 (scan only probed cells' codes)
+    for the full IVFPQ posture."""
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col, seed=seed)
+    qrows = [(r["_id"], r["_v"]) for r in
+             corpus.selectExpr(f"{id_col} AS _id", f"{vec_col} AS _v")
+             .filter(query_pred).collect()]
+    luts = pq_query_luts(spark, qrows, books)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id") \
+        .transform(persist_scoped)
+    adc_expr = " + ".join(
+        f"element_at(l, {mm * ksub} + c{mm} + 1)" for mm in range(m))
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"({adc_expr}) AS adc")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc"))
+
+
+L2_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - "
+            "CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+            ", 0.0D, (acc, v) -> acc + v)")
+L2_DUCK = ("list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+           " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def l2_topk(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            query_pred: str = "vec_id < 8") -> DataFrame:
+    """Exact L2 top-k (brute force) — the recall baseline for pq_topk.
+    Same broadcast-queries / codegen-fold / window shape as cosine_topk."""
+    q = (corpus.filter(query_pred)
+         .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv"))
+    c = corpus.selectExpr(f"{id_col} AS neighbor_id", f"{vec_col} AS cv")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id",
+                    L2_SPARK.format(a="qv", b="cv") + " AS l2")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "l2"))
+
+
+def pq_topk_duck(table: str, books, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_pred: str = "vec_id < 8") -> str:
+    """DuckDB twin of :func:`pq_topk` + recall flag vs exact L2: the
+    trained codebooks are injected as literals (shared deterministic
+    constant, the q63 posture) and ENCODE, LUT, ADC, top-k and the
+    recall join all run in SQL. Distance terms are written left-assoc
+    in the same (subspace, dim) order the numpy side accumulates, so
+    every double is bit-identical."""
+    import numpy as np  # noqa: F401
+
+    m, ksub, dsub = books.shape
+    cb_vals = ", ".join(
+        f"({mm}, {j}, [{', '.join(repr(float(x)) for x in books[mm][j])}]"
+        "::DOUBLE[])"
+        for mm in range(m) for j in range(ksub))
+    # per-(vector, m, j) subspace distance, left-assoc in dim order
+    d_terms = " + ".join(
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - cb.cvec[{d + 1}]) * "
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - cb.cvec[{d + 1}])"
+        for d in range(dsub))
+    adc = " + ".join(
+        f"p.l[{mm * ksub} + c.c{mm} + 1]" for mm in range(m))
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN j END) AS c{mm}" for mm in range(m))
+    l2 = L2_DUCK.format(a="q.cv", b="b.cv")
+    return f"""
+    WITH cb(m, j, cvec) AS (VALUES {cb_vals}),
+    b AS (
+        SELECT {id_col} AS neighbor_id, {vec_col}::DOUBLE[] AS cv,
+               ({query_pred}) AS is_query
+        FROM {table}
+    ),
+    dists AS (
+        SELECT v.neighbor_id, cb.m, cb.j, {d_terms} AS d
+        FROM b v CROSS JOIN cb
+    ),
+    enc AS (
+        SELECT neighbor_id, m, j FROM (
+            SELECT neighbor_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id, m
+                                      ORDER BY d, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT neighbor_id, {code_cols} FROM enc GROUP BY neighbor_id
+    ),
+    qd AS (
+        SELECT v.neighbor_id AS query_id, cb.m, cb.j, {d_terms} AS d
+        FROM b v CROSS JOIN cb WHERE v.is_query
+    ),
+    luts AS (
+        SELECT query_id, list(d ORDER BY m, j) AS l
+        FROM qd GROUP BY query_id
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id, {adc} AS adc
+        FROM codes c CROSS JOIN luts p
+        WHERE p.query_id != c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC)
+                   AS rank
+        FROM scored
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.neighbor_id AS query_id, b.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {l2}, b.neighbor_id)
+                       AS rr
+            FROM b q CROSS JOIN b
+            WHERE q.is_query AND q.neighbor_id != b.neighbor_id
+        ) WHERE rr <= {k}
+    )
+    SELECT r.query_id, r.neighbor_id, r.rank,
+           CAST(floor(r.adc * 1000000) AS BIGINT) AS adc_q6,
+           CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM ranked r
+    LEFT JOIN exact e
+      ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    WHERE r.rank <= {k}
+    """
+
+
+def pq_rerank_topk(corpus: DataFrame, k: int = 5, r: int = 50,
+                   m: int = 8, ksub: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_pred: str = "vec_id < 8",
+                   seed: int = 42) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (the FAISS refine posture): the
+    compressed index ranks the WHOLE corpus (pq_topk), then raw vectors
+    are read for only the top-``r`` shortlist per query and re-scored
+    with exact L2. At 100 TB the full-corpus pass touches m bytes per
+    vector; the expensive raw-vector read is r x |Q| rows — measured
+    recall@5 goes 0.625 -> 1.0 at sf1 for r=50 (vs ADC-only), the
+    recall/cost dial in data. Returns [query_id, neighbor_id, rank, l2].
+    """
+    shortlist = pq_topk(corpus, k=r, m=m, ksub=ksub, id_col=id_col,
+                        vec_col=vec_col, query_pred=query_pred,
+                        seed=seed).select("query_id", "neighbor_id")
+    q = (corpus.filter(query_pred)
+         .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv"))
+    c = corpus.selectExpr(f"{id_col} AS neighbor_id", f"{vec_col} AS cv")
+    # the shortlist is tiny (r x |Q|): broadcast it so the raw-vector
+    # fetch is a map-side semi-join over the corpus scan, no shuffle
+    rescored = (
+        c.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .selectExpr("query_id", "neighbor_id",
+                    L2_SPARK.format(a="qv", b="cv") + " AS l2")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "l2"))
+
+
+def pq_rerank_duck(table: str, books, k: int = 5, r: int = 50,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_pred: str = "vec_id < 8") -> str:
+    """DuckDB twin of :func:`pq_rerank_topk` + recall flag vs exact L2
+    (same literal-codebook posture as pq_topk_duck)."""
+    m, ksub, dsub = books.shape
+    cb_vals = ", ".join(
+        f"({mm}, {j}, [{', '.join(repr(float(x)) for x in books[mm][j])}]"
+        "::DOUBLE[])"
+        for mm in range(m) for j in range(ksub))
+    d_terms = " + ".join(
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - cb.cvec[{d + 1}]) * "
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - cb.cvec[{d + 1}])"
+        for d in range(dsub))
+    adc = " + ".join(
+        f"p.l[{mm * ksub} + c.c{mm} + 1]" for mm in range(m))
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN j END) AS c{mm}" for mm in range(m))
+    l2 = L2_DUCK.format(a="qn.cv", b="cn.cv")
+    l2x = L2_DUCK.format(a="q.cv", b="b.cv")
+    return f"""
+    WITH cb(m, j, cvec) AS (VALUES {cb_vals}),
+    b AS (
+        SELECT {id_col} AS neighbor_id, {vec_col}::DOUBLE[] AS cv,
+               ({query_pred}) AS is_query
+        FROM {table}
+    ),
+    dists AS (
+        SELECT v.neighbor_id, cb.m, cb.j, {d_terms} AS d
+        FROM b v CROSS JOIN cb
+    ),
+    enc AS (
+        SELECT neighbor_id, m, j FROM (
+            SELECT neighbor_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id, m
+                                      ORDER BY d, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT neighbor_id, {code_cols} FROM enc GROUP BY neighbor_id
+    ),
+    qd AS (
+        SELECT v.neighbor_id AS query_id, cb.m, cb.j, {d_terms} AS d
+        FROM b v CROSS JOIN cb WHERE v.is_query
+    ),
+    luts AS (
+        SELECT query_id, list(d ORDER BY m, j) AS l
+        FROM qd GROUP BY query_id
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id, {adc} AS adc
+        FROM codes c CROSS JOIN luts p
+        WHERE p.query_id != c.neighbor_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc ASC, neighbor_id ASC)
+                       AS rn
+            FROM scored
+        ) WHERE rn <= {r}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id, {l2} AS l2
+        FROM shortlist s
+        JOIN b cn ON cn.neighbor_id = s.neighbor_id
+        JOIN b qn ON qn.neighbor_id = s.query_id
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id, l2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY l2 ASC, neighbor_id ASC)
+                   AS rank
+        FROM rescored
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.neighbor_id AS query_id, b.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {l2x}, b.neighbor_id)
+                       AS rr
+            FROM b q CROSS JOIN b
+            WHERE q.is_query AND q.neighbor_id != b.neighbor_id
+        ) WHERE rr <= {k}
+    )
+    SELECT rk.query_id, rk.neighbor_id, rk.rank,
+           CAST(floor(rk.l2 * 1000000) AS BIGINT) AS l2_q6,
+           CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM reranked rk
+    LEFT JOIN exact e
+      ON e.query_id = rk.query_id AND e.neighbor_id = rk.neighbor_id
+    WHERE rk.rank <= {k}
+    """
