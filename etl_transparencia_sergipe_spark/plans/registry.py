@@ -120,6 +120,19 @@ _LOADED = False
 # r04, unchanged). q62's output also changed but has no pure-SQL form
 # (a second rows-only driver row adds nothing over its r01-r04 ones);
 # it stays extended-tier, hash-verified in the local gate.
+#
+# Round-5 additions (shipped this round, certified this round): q97
+# (incremental connected components — pure-SQL recursive-CTE oracle,
+# HASH row) and q98/q99 (PQ ANN / PQ+re-rank — trained codebooks, no
+# pure-SQL form: rows-only at the driver, hash-verified against
+# literal-codebook DuckDB twins in the local gate, the q63 contract).
+# q05 also (re-)enters: its reduce-before-join rewrite landed this
+# round and the driver must certify the change (it was displaced in
+# r4 as a double-certified stalwart). Displaced: q65, q68, q69, q70 —
+# all driver-green in r03 AND r04 with unchanged implementations, all
+# still hash-verified in the local gate every round, and each family
+# keeps a window representative (q80 token-budget sampling for the
+# mixture tier, q71 for multimodal).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -132,9 +145,10 @@ HEADLINE_50: tuple[str, ...] = (
     "q91_media_ahash_neardup", "q92_rolling_active_hll",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
     "q57_pack_chunks",
-    "q64_decontamination", "q65_domain_mixture", "q66_repetition_ratio",
-    "q68_mixture_sample", "q69_embedding_dim_stats",
-    "q70_multimodal_metadata", "q71_multimodal_features",
+    "q64_decontamination", "q66_repetition_ratio",
+    "q05_top_customers", "q97_incremental_cc",
+    "q98_pq_ann_topk", "q99_pq_rerank_topk",
+    "q71_multimodal_features",
     "q72_boilerplate_rules",
     "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
     "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
