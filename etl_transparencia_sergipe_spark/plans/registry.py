@@ -132,7 +132,10 @@ _LOADED = False
 # all driver-green in r03 AND r04 with unchanged implementations, all
 # still hash-verified in the local gate every round, and each family
 # keeps a window representative (q80 token-budget sampling for the
-# mixture tier, q71 for multimodal).
+# mixture tier, q71 for multimodal). q100 (BM25 retrieval scoring,
+# shipped this round, full SQL oracle) also enters, displacing q51
+# (driver-green r02/r03/r04, unchanged; q50/q52 keep the streaming-
+# window family's representation).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -143,7 +146,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q45_lsh_multiprobe", "q46_ivf_ann_topk",
     "q63_ivf_trained_topk",
     "q91_media_ahash_neardup", "q92_rolling_active_hll",
-    "q50_tumbling_window", "q51_sliding_window", "q52_session_windows",
+    "q50_tumbling_window", "q100_bm25_topk", "q52_session_windows",
     "q57_pack_chunks",
     "q64_decontamination", "q66_repetition_ratio",
     "q05_top_customers", "q97_incremental_cc",

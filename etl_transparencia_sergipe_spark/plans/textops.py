@@ -1272,3 +1272,103 @@ def q93_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cm_est") - F.col("exact_cnt")).cast("bigint")
         .alias("overcount"))
         .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20))
+
+
+# --- q100: BM25 retrieval scoring ------------------------------------------
+
+_BM25_TERMS = ("window", "stream", "merge", "hash")
+
+
+def _bm25_contrib(i: int, lit: str) -> str:
+    """Per-term BM25 contribution, written with IDENTICAL expression
+    shape and literal forms on both engines so every double is
+    bit-identical (all ops are IEEE correctly-rounded: + - * /; the
+    standard ln() idf is NOT — Java and libm logs can differ in the
+    last ulp — so this uses the rational idf (N - df + 0.5)/(df + 0.5),
+    a monotone-equivalent weighting; k1=1.2, b=0.75). ``lit`` is the
+    engine's double-literal suffix style: 'D' (Spark) or 'e0' (DuckDB
+    — bare 1.2 would parse as exact DECIMAL there and run different
+    arithmetic, the q86 gotcha)."""
+    idf = (f"((CAST(n_docs AS DOUBLE) - df{i} + 0.5{lit})"
+           f" / (df{i} + 0.5{lit}))")
+    avgdl = f"(CAST(total_dl AS DOUBLE) / n_docs)"
+    tfn = (f"((tf{i} * 2.2{lit}) / (tf{i} + 1.2{lit} * "
+           f"(1.0{lit} - 0.75{lit} + 0.75{lit} * (dl / {avgdl}))))")
+    return f"({idf} * {tfn})"
+
+
+_BM25_SCORE_SPARK = " + ".join(
+    _bm25_contrib(i, "D") for i in range(len(_BM25_TERMS)))
+_BM25_SCORE_DUCK = " + ".join(
+    _bm25_contrib(i, "e0") for i in range(len(_BM25_TERMS)))
+_BM25_HITS = " + ".join(
+    f"CAST(tf{i} > 0 AS INT)" for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "q100_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {tokens_duck('text')} AS toks FROM documents
+    ), base AS (
+        SELECT doc_id, len(toks) AS dl,
+               {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+                          for i, t in enumerate(_BM25_TERMS))}
+        FROM t
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS df{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM base
+    )
+    SELECT doc_id, ({_BM25_SCORE_DUCK}) AS bm25,
+           ({_BM25_HITS}) AS n_hits
+    FROM base CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+    doc="F16 BM25 retrieval scoring [EXT]: rank the corpus against a "
+        "fixed query-term set — the 'select domain-relevant documents' "
+        "curation op (quality-weighted sampling precedent: DSIR/"
+        "importance resampling pipelines). ONE corpus scan computes "
+        "doc length and per-term tf as codegen column expressions (no "
+        "explode, no per-term shuffle); corpus stats (N, avgdl, df) "
+        "are a 1-row broadcast; scoring is a pure map-side expression "
+        "and top-20 is TakeOrderedAndProject. Rational-idf variant for "
+        "cross-engine bit-determinism (ln is not correctly rounded; "
+        "see _bm25_contrib) — the raw double score hash-matches. At "
+        "100 TB: scan-bound, embarrassingly parallel, the only "
+        "exchange is the final top-k.",
+)
+def q100_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        tokens_spark,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    base = (
+        docs.selectExpr("doc_id", f"{tokens_spark('text')} AS toks")
+        .selectExpr(
+            "doc_id", "size(toks) AS dl",
+            *[f"size(filter(toks, x -> x = '{t}')) AS tf{i}"
+              for i, t in enumerate(_BM25_TERMS)])
+    )
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+
+    base = base.transform(persist_scoped)
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+          .cast("bigint").alias(f"df{i}")
+          for i in range(len(_BM25_TERMS))])
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", f"({_BM25_SCORE_SPARK}) AS bm25",
+                    f"({_BM25_HITS}) AS n_hits")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
