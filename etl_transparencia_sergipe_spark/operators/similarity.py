@@ -1055,3 +1055,220 @@ def pq_rerank_duck(table: str, books, k: int = 5, r: int = 50,
       ON e.query_id = rk.query_id AND e.neighbor_id = rk.neighbor_id
     WHERE rk.rank <= {k}
     """
+
+
+def ivfpq_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
+               nprobe: int = 4, m: int = 8, ksub: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_pred: str = "vec_id < 8",
+               seed: int = 42) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC architecture, non-residual
+    variant): the trained coarse quantizer prunes to ``nprobe`` of
+    ``n_cells`` Voronoi cells per query, and candidates are ranked by
+    PQ asymmetric distance over their 8-int codes — the raw-vector
+    column is scanned exactly once (the combined assign+encode pass)
+    and never again; search cost is nprobe/n_cells of the corpus's
+    CODES, not its vectors. One mapInPandas pass emits (cell, probes,
+    c0..c{m-1}) per vector, so unlike a separate-assign-then-encode
+    formulation there is no corpus-sized join. Returns
+    [query_id, neighbor_id, rank, adc]."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col, seed=seed)
+    _, _, dsub = books.shape
+    cent = kmeans_centroids(corpus, n_cells=n_cells, vec_col=vec_col,
+                            seed=seed, id_col=id_col)
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    cells_np = np.array([int(r["cell"]) for r in cent_rows],
+                        dtype=np.int64)
+    cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64)
+                     for r in cent_rows])
+    ncells, dim = cmat.shape
+    # centroid norms accumulated per-dimension (matches _ivf_cell_search
+    # / the DuckDB cosine fold bit-for-bit)
+    cnorm = np.zeros(ncells)
+    for d in range(dim):
+        cnorm += cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    schema = ("neighbor_id bigint, is_query boolean, cell bigint, "
+              "probes array<bigint>, "
+              + ", ".join(f"c{mm} int" for mm in range(m)))
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cv"]])
+            # cosine cell assignment, identical order to assign_cells
+            dot = np.zeros((len(pdf), ncells))
+            vnorm = np.zeros(len(pdf))
+            for d in range(dim):
+                dot += M[:, d:d + 1] * cmat[None, :, d]
+                vnorm += M[:, d] * M[:, d]
+            dist = 1.0 - dot / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+            amin = dist.argmin(axis=1)
+            probes = [None] * len(pdf)
+            for i, isq in enumerate(pdf["is_query"]):
+                if isq:
+                    order = np.lexsort((cells_np, dist[i]))[:nprobe]
+                    probes[i] = [int(cells_np[j]) for j in order]
+            cols = {
+                "neighbor_id": pdf["neighbor_id"],
+                "is_query": pdf["is_query"],
+                "cell": cells_np[amin],
+                "probes": probes,
+            }
+            # PQ encode in the same pass (identical order to pq_encode)
+            for mm in range(m):
+                d2 = np.zeros((len(pdf), ksub))
+                for d in range(dsub):
+                    diff = M[:, mm * dsub + d:mm * dsub + d + 1] \
+                        - books[mm][None, :, d]
+                    d2 = d2 + diff * diff
+                cols[f"c{mm}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(cols)
+
+    assigned = (
+        corpus.selectExpr(
+            f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
+            f"({query_pred}) AS is_query")
+        .mapInPandas(assign_encode, schema=schema)
+        .transform(persist_scoped)
+    )
+    qrows = [(r["_id"], r["_v"]) for r in
+             corpus.selectExpr(f"{id_col} AS _id", f"{vec_col} AS _v")
+             .filter(query_pred).collect()]
+    luts = pq_query_luts(spark, qrows, books)
+    probes = (assigned.filter("is_query")
+              .selectExpr("neighbor_id AS query_id",
+                          "explode(probes) AS cell")
+              .join(F.broadcast(luts), "query_id"))
+    adc_expr = " + ".join(
+        f"element_at(l, {mm * ksub} + c{mm} + 1)" for mm in range(m))
+    cand = (assigned.select("neighbor_id", "cell",
+                            *[f"c{mm}" for mm in range(m)])
+            .join(F.broadcast(probes), "cell")
+            .filter("query_id != neighbor_id"))
+    scored = cand.selectExpr("query_id", "neighbor_id",
+                             f"({adc_expr}) AS adc")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc"))
+
+
+def ivfpq_topk_duck(table: str, cent, books, k: int = 5,
+                    n_cells: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_pred: str = "vec_id < 8") -> str:
+    """DuckDB twin of :func:`ivfpq_topk` + exact-L2 recall flag:
+    trained centroids AND codebooks injected as literals; cosine cell
+    assignment, probe selection, PQ encode, LUT build, pruned ADC
+    ranking and the recall join all verified in SQL."""
+    m, ksub, dsub = books.shape
+    cent_vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in cent[i])}]::DOUBLE[])"
+        for i in range(len(cent)))
+    cb_vals = ", ".join(
+        f"({mm}, {j}, [{', '.join(repr(float(x)) for x in books[mm][j])}]"
+        "::DOUBLE[])"
+        for mm in range(m) for j in range(ksub))
+    d_assign = f"1.0 - ({cosine_expr_duck('b.cv', 'ct.cvec')})"
+    d_probe = f"1.0 - ({cosine_expr_duck('q.cv', 'ct.cvec')})"
+    d_terms = " + ".join(
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - cb.cvec[{d + 1}]) * "
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - cb.cvec[{d + 1}])"
+        for d in range(dsub))
+    adc = " + ".join(
+        f"p.l[{mm * ksub} + c.c{mm} + 1]" for mm in range(m))
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN j END) AS c{mm}" for mm in range(m))
+    l2x = L2_DUCK.format(a="q.cv", b="b.cv")
+    return f"""
+    WITH cent(cell, cvec) AS (VALUES {cent_vals}),
+    cb(m, j, cvec) AS (VALUES {cb_vals}),
+    b AS (
+        SELECT {id_col} AS neighbor_id, {vec_col}::DOUBLE[] AS cv,
+               ({query_pred}) AS is_query
+        FROM {table}
+    ),
+    assign AS (
+        SELECT neighbor_id, cell FROM (
+            SELECT b.neighbor_id, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.neighbor_id
+                                      ORDER BY {d_assign}, ct.cell) AS rn
+            FROM b CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.neighbor_id AS query_id, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {d_probe}, ct.cell) AS rn
+            FROM b q CROSS JOIN cent ct WHERE q.is_query
+        ) WHERE rn <= {nprobe}
+    ),
+    dists AS (
+        SELECT v.neighbor_id, cb.m, cb.j, {d_terms} AS d
+        FROM b v CROSS JOIN cb
+    ),
+    enc AS (
+        SELECT neighbor_id, m, j FROM (
+            SELECT neighbor_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id, m
+                                      ORDER BY d, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT neighbor_id, {code_cols} FROM enc GROUP BY neighbor_id
+    ),
+    qd AS (
+        SELECT v.neighbor_id AS query_id, cb.m, cb.j, {d_terms} AS d
+        FROM b v CROSS JOIN cb WHERE v.is_query
+    ),
+    luts AS (
+        SELECT query_id, list(d ORDER BY m, j) AS l
+        FROM qd GROUP BY query_id
+    ),
+    scored AS (
+        SELECT pr.query_id, a.neighbor_id, {adc} AS adc
+        FROM assign a
+        JOIN codes c ON c.neighbor_id = a.neighbor_id
+        JOIN probes pr ON pr.cell = a.cell
+        JOIN luts p ON p.query_id = pr.query_id
+        WHERE pr.query_id != a.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC)
+                   AS rank
+        FROM scored
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.neighbor_id AS query_id, b.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {l2x}, b.neighbor_id)
+                       AS rr
+            FROM b q CROSS JOIN b
+            WHERE q.is_query AND q.neighbor_id != b.neighbor_id
+        ) WHERE rr <= {k}
+    )
+    SELECT r.query_id, r.neighbor_id, r.rank,
+           CAST(floor(r.adc * 1000000) AS BIGINT) AS adc_q6,
+           CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM ranked r
+    LEFT JOIN exact e
+      ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    WHERE r.rank <= {k}
+    """

@@ -135,7 +135,10 @@ _LOADED = False
 # mixture tier, q71 for multimodal). q100 (BM25 retrieval scoring,
 # shipped this round, full SQL oracle) also enters, displacing q51
 # (driver-green r02/r03/r04, unchanged; q50/q52 keep the streaming-
-# window family's representation).
+# window family's representation). q101 (IVFPQ, shipped this round,
+# rows-only by driver contract like q63/q98/q99) displaces q72
+# (driver-green r03/r04, unchanged; the text-rules family keeps
+# q21/q55/q66 local coverage and q66 stays in-window).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -152,7 +155,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q05_top_customers", "q97_incremental_cc",
     "q98_pq_ann_topk", "q99_pq_rerank_topk",
     "q71_multimodal_features",
-    "q72_boilerplate_rules",
+    "q101_ivfpq_topk",
     "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
     "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
     "q79_incremental_dedup", "q80_token_budget_sample",

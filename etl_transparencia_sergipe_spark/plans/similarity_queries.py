@@ -474,3 +474,71 @@ def q99_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("l2_q6"),
                 F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
     )
+
+
+def _q101_oracle(con):
+    """Literal-constant DuckDB twin for IVFPQ: the coarse quantizer
+    (full-dim Lloyd, q63's spec) and the PQ codebooks (per-subspace
+    Lloyd, q98's spec) are both trained from the shared deterministic
+    sample; assignment, probe selection, encode, pruned ADC ranking
+    and the exact-L2 recall join are verified in SQL."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+        ivfpq_topk_duck,
+        lloyd_float,
+    )
+
+    h = SAMPLE_HASH.format(id="vec_id")
+    rows = con.execute(
+        f"SELECT embedding FROM embeddings "
+        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    m, ksub = 8, 16
+    dsub = X.shape[1] // m
+    books = np.stack([
+        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                    seed=42)
+        for mm in range(m)
+    ])
+    cent = lloyd_float(X, n_cells=16, seed=42, max_iter=20)
+    return con.execute(
+        ivfpq_topk_duck("embeddings", cent, books, k=5, n_cells=16,
+                        nprobe=4)).fetchdf()
+
+
+@register(
+    "q101_ivfpq_topk",
+    oracle=None,  # trained quantizer + codebooks: the q63/q98 contract
+    oracle_py=_q101_oracle,
+    doc="J6 IVFPQ — IVF x PQ COMPOSED (the FAISS IVFADC architecture, "
+        "non-residual variant) [EXT]: the trained coarse quantizer "
+        "prunes to nprobe=4 of 16 cells per query and candidates are "
+        "ranked by PQ asymmetric distance over their 8-int codes. ONE "
+        "combined mapInPandas pass emits cell assignment AND codes, so "
+        "the raw-vector column is scanned exactly once and there is no "
+        "corpus-sized join; search reads nprobe/n_cells of the CODES "
+        "(8 ints/vector). This is the 100 TB embedding-search plan: "
+        "storage ∝ codes, probe cost ∝ pruned code scan, exact data "
+        "touched = 0 rows. hit column self-reports recall vs exact L2; "
+        "full search hash-verified against the literal-constant DuckDB "
+        "twin.",
+)
+def q101_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivfpq_topk,
+        l2_topk,
+    )
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ann = ivfpq_topk(emb, k=5, n_cells=16, nprobe=4, m=8, ksub=16)
+    exact = l2_topk(emb, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit0"))
+    return (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .select("query_id", "neighbor_id", "rank",
+                F.expr("CAST(floor(adc * 1000000) AS BIGINT)")
+                .alias("adc_q6"),
+                F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
+    )

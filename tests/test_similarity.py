@@ -247,3 +247,29 @@ def test_pq_encode_matches_numpy_reference(spark, sf_dir):
         want = [int(((v[m * 8:(m + 1) * 8] - books[m]) ** 2)
                     .sum(axis=1).argmin()) for m in range(8)]
         assert got[r.vec_id] == want, r.vec_id
+
+
+def test_ivfpq_planted_duplicate_and_pruning(spark, sf_dir):
+    """IVFPQ: a planted exact duplicate of query 0 shares its cell AND
+    its code word, so it must come back rank 1; and the candidate set
+    per query is actually pruned vs the whole corpus (nprobe/n_cells)."""
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    clone_id = 10_000_019
+    clone = emb.filter("vec_id = 0").selectExpr(
+        f"CAST({clone_id} AS BIGINT) AS vec_id", "embedding")
+    planted = emb.unionByName(clone)
+    top = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivfpq_topk(planted, k=5).collect()}
+    assert top[(0, 1)] == clone_id
+    # pruning: every query's candidate count < corpus (4 of 16 cells)
+    ann_all = ivfpq_topk(emb, k=10**9)  # rank filter keeps all cands
+    n = emb.count()
+    counts = {r.query_id: r.n for r in
+              ann_all.groupBy("query_id").count()
+              .selectExpr("query_id", "count AS n").collect()}
+    assert counts and all(c < n - 1 for c in counts.values()), counts
