@@ -44,3 +44,56 @@ def test_sorted_layout_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
     b = (spark.read.parquet(shuffled)
          .filter((F.col("ts") >= plo) & (F.col("ts") <= phi)).count())
     assert a == b > 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs linear sort, measured on footer stats: the linear
+    ts-sorted layout prunes ts ranges but skips ~nothing for a user_id
+    range; the Z-ordered layout skips a solid majority of row groups
+    for BOTH mid-range predicates. Row contents are identical either
+    way — layout only changes what gets read."""
+    from etl_transparencia_sergipe_spark.operators.layout import (
+        zorder_write,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value")
+
+    def midrange(col):
+        lo = ev.agg(F.min(col)).collect()[0][0]
+        hi = ev.agg(F.max(col)).collect()[0][0]
+        span = hi - lo
+        return lo + span * 45 // 100, lo + span * 55 // 100
+
+    ulo, uhi = midrange("user_id")
+    tlo, thi = midrange("ts")
+
+    # 32 files -> 32 row groups: enough curve segments that the skip
+    # fraction measures the layout, not the granularity
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    sorted_write(ev, linear, ["ts"], n_files=32)
+    zorder_write(ev, zpath, ["user_id", "ts"], n_files=32)
+
+    lin_ts = rowgroup_skip_fraction(linear, "ts", tlo, thi)
+    lin_uid = rowgroup_skip_fraction(linear, "user_id", ulo, uhi)
+    z_ts = rowgroup_skip_fraction(zpath, "ts", tlo, thi)
+    z_uid = rowgroup_skip_fraction(zpath, "user_id", ulo, uhi)
+
+    # linear: great on its sort key, blind on the other dimension
+    assert lin_ts["skip_fraction"] >= 0.7, lin_ts
+    assert lin_uid["skip_fraction"] <= 0.1, lin_uid
+    # z-order: BOTH dimensions prune meaningfully (a single-dim slab
+    # is Morton's weaker case — rectangle predicates prune even harder;
+    # measured 0.56/0.69 at sf0.001, 0.62/0.38 at sf0.01 with 32 groups)
+    assert z_ts["skip_fraction"] >= 0.5, z_ts
+    assert z_uid["skip_fraction"] >= 0.3, z_uid
+    assert z_uid["skip_fraction"] >= lin_uid["skip_fraction"] + 0.25
+
+    # same rows either way (layout is a physical property only)
+    import pyspark.sql.functions as SF
+    a = spark.read.parquet(linear).agg(
+        SF.count("*"), SF.sum("event_id"), SF.sum("user_id")).collect()
+    b = spark.read.parquet(zpath).agg(
+        SF.count("*"), SF.sum("event_id"), SF.sum("user_id")).collect()
+    assert a == b
