@@ -1077,17 +1077,20 @@ def ivfpq_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     spark = corpus.sparkSession
-    books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col, seed=seed)
-    _, _, dsub = books.shape
-    cent = kmeans_centroids(corpus, n_cells=n_cells, vec_col=vec_col,
-                            seed=seed, id_col=id_col)
-    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
-    cells_np = np.array([int(r["cell"]) for r in cent_rows],
-                        dtype=np.int64)
-    cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64)
-                     for r in cent_rows])
-    ncells, dim = cmat.shape
+    # BOTH quantizers (coarse cells + PQ codebooks) train on the SAME
+    # deterministic sample — fetch it once (it was the largest fixed
+    # cost of the query: two Arrow fetches + two Lloyd preambles)
+    X = _train_sample(corpus, id_col, vec_col, 65536)
+    dim = X.shape[1]
+    dsub = dim // m
+    books = np.stack([
+        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                    seed=seed)
+        for mm in range(m)
+    ])
+    cmat = lloyd_float(X, n_cells=n_cells, seed=seed)
+    cells_np = np.arange(n_cells, dtype=np.int64)
+    ncells = n_cells
     # centroid norms accumulated per-dimension (matches _ivf_cell_search
     # / the DuckDB cosine fold bit-for-bit)
     cnorm = np.zeros(ncells)
