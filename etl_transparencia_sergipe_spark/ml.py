@@ -14,6 +14,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sample_hash(key_expr: str) -> str:
+    """Portable multiplicative hash of a (nonnegative) int64 key — the
+    shared overflow-safe template (see similarity.SAMPLE_HASH)."""
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+    )
+
+    return SAMPLE_HASH.format(id=key_expr)
+
+
 def scaler_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """A4: per-column mean/std (the StandardScaler fit), computed from
     exact decimal sums so results are engine-independent.
@@ -154,7 +164,11 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
     # identical vectors, so either pick yields the same sample content.
     sample = (
         zq.select(
-            F.expr(f"pmod(({key_expr}) * 2654435761, 4294967296)")
+            # the shared overflow-safe split-multiply template (round-5
+            # ADVICE; see similarity.SAMPLE_HASH) — same value as the
+            # old (key * 2654435761) % 2^32 for keys < 2^32, exact on
+            # both engines for any int64 key
+            F.expr(_sample_hash(key_expr))
             .alias("_km_h"),
             F.expr(key_expr).alias("_km_key"),
             *[f"zq_{i}" for i in range(d)])

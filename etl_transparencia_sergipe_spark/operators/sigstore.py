@@ -65,6 +65,31 @@ def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def hadoop_store_ready(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists AND holds at least one COMMITTED entry —
+    a child whose name is not hidden (``_``/``.`` prefix, e.g. the
+    ``_temporary`` dir a crashed mid-commit write leaves behind).
+
+    Bare ``exists()`` is not enough for a replay guard (round-5 ADVICE,
+    medium): a first-epoch write that died before commit leaves the
+    store directory present but with no readable parquet, so the
+    replayed epoch would take the probe branch and fail schema
+    inference, wedging the stream until manual cleanup. Partitioned
+    stores pass via their ``ingest_batch=N`` child dirs (non-hidden).
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
 def probe_signature_store(spark: SparkSession, store_path: str,
                           new_docs: DataFrame, id_col: str, text_col: str,
                           k: int = 16, bands: int = 4,

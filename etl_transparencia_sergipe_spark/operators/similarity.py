@@ -386,12 +386,22 @@ def lloyd_float(X, n_cells: int, seed: int = 42, max_iter: int = 20):
         d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         lab = d2.argmin(axis=1)
         new = np.empty_like(cent)
+        # Empty cells re-seed to the 1st, 2nd, ... farthest-from-any-
+        # centroid points (stable descending order, so a single empty
+        # cell gets exactly the old argmax point — hash-neutral). The
+        # previous form reseeded EVERY simultaneously-empty cell to the
+        # same argmax point, permanently duplicating centroids
+        # (round-5 ADVICE): deterministic either way, but distinct
+        # reseeds keep quantizer quality from degrading silently.
+        far_order = None
+        n_empty = 0
         for c in range(n_cells):
             members = X[lab == c]
             if len(members) == 0:
-                # re-seed an empty cell to the point farthest from its
-                # centroid (deterministic)
-                new[c] = X[d2.min(axis=1).argmax()]
+                if far_order is None:
+                    far_order = np.argsort(-d2.min(axis=1), kind="stable")
+                new[c] = X[far_order[n_empty]]
+                n_empty += 1
             else:
                 new[c] = members.mean(axis=0)
         if np.array_equal(new, cent):
@@ -400,9 +410,21 @@ def lloyd_float(X, n_cells: int, seed: int = 42, max_iter: int = 20):
     return cent
 
 
-# portable multiplicative sample hash (Knuth): exact int64 arithmetic
-# any engine can reproduce (DuckDB lacks xxhash64, which this replaced)
-SAMPLE_HASH = "({id} * 2654435761) % 4294967296"
+# portable multiplicative sample hash (Knuth, C = 2654435761): exact
+# int64 arithmetic any engine can reproduce (DuckDB lacks xxhash64,
+# which this replaced). The naive (id * C) % 2^32 overflows int64 for
+# ids > ~3.47e9 — Spark (non-ANSI) wraps silently while DuckDB raises,
+# breaking portability exactly at 100 TB-scale id ranges (round-5
+# ADVICE). Fix: reduce id mod 2^32, then SPLIT the multiplier into
+# C = 40503 * 2^16 + 31153 so (x*C) mod 2^32 =
+# (x*31153 + ((x*40503) mod 2^16) * 2^16) mod 2^32 with every
+# intermediate < 2^48 (a bare mod-2^32 pre-reduction is NOT enough:
+# (2^32-1)*C ~ 1.14e19 still exceeds int64). Identical value to the
+# old form for ids < 2^32 (nonnegative), so every trained quantizer /
+# sample order in the gates is unchanged (tests/test_sample_hash.py).
+SAMPLE_HASH = ("((({id}) % 4294967296) * 31153 + "
+               "((({id}) % 4294967296) * 40503) % 65536 * 65536) "
+               "% 4294967296")
 
 
 def _train_sample(corpus: DataFrame, id_col: str, vec_col: str,

@@ -19,8 +19,23 @@ from __future__ import annotations
 
 # labels tables already materialized on a connection, keyed by
 # (connection id, pairs SQL) — q38 and q39 share the same near-dup
-# graph, so the second query reuses the first's converged labels
+# graph, so the second query reuses the first's converged labels.
+#
+# Cache-validity contract (round-5 ADVICE): id(con) can be REUSED by a
+# new connection after the old one is GC'd, so a hit is trusted only
+# after probing that _cc_labels actually exists on THIS connection
+# (cheap `LIMIT 0`); a probe failure falls through to a rebuild. Within
+# one connection the cache assumes same-SQL => same data — callers that
+# re-register the testdata views over different files on a live
+# connection must call ``clear_cc_cache()`` (tools/bench_oracle.py:50
+# does exactly this between scale factors).
 _CC_CACHE: dict[tuple[int, str], str] = {}
+
+
+def clear_cc_cache() -> None:
+    """Drop all cached label-table entries (call after re-registering
+    the testdata views over different data on a live connection)."""
+    _CC_CACHE.clear()
 
 
 def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
@@ -34,7 +49,12 @@ def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
     """
     key = (id(con), pairs_sql)
     if key in _CC_CACHE:
-        return _CC_CACHE[key]
+        try:
+            con.execute("SELECT 1 FROM _cc_labels LIMIT 0")
+            return _CC_CACHE[key]
+        except Exception:
+            # id(con) collision with a GC'd connection: table missing
+            del _CC_CACHE[key]
     # rebuilding overwrites the shared temp tables — drop any stale
     # cache entries for this connection (different pairs_sql)
     for k in [k for k in _CC_CACHE if k[0] == id(con)]:

@@ -68,6 +68,13 @@ def kmeans_oracle_duck(con, feature_cols: list[str], key_sql: str,
                        k: int = 3, max_iter: int = 60,
                        max_train_rows: int = 65536):
     """pandas DataFrame[cluster, n, avg_qty] — q62's oracle result."""
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+    )
+
+    # shared overflow-safe hash template — must be the exact expression
+    # ml.kmeans_exact orders its sample by
+    km_h_sql = SAMPLE_HASH.format(id=f"({key_sql})")
     d = len(feature_cols)
     stats_sel = ", ".join(
         f"CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS s1_{i}, "
@@ -92,7 +99,7 @@ def kmeans_oracle_duck(con, feature_cols: list[str], key_sql: str,
         CREATE OR REPLACE TEMP TABLE _km_zq AS
         SELECT {', '.join(zexprs)}, {metric_col} AS metric,
                ({key_sql}) AS km_key,
-               (({key_sql}) * 2654435761) % 4294967296 AS km_h
+               {km_h_sql} AS km_h
         FROM {table}
     """)
     zq_cols = ", ".join(f"zq_{i}" for i in range(d))

@@ -41,7 +41,7 @@ from etl_transparencia_sergipe_spark.operators.dedup import (
     minhash_signatures,
 )
 from etl_transparencia_sergipe_spark.operators.sigstore import (
-    hadoop_path_exists,
+    hadoop_store_ready,
     probe_signature_store,
 )
 
@@ -77,8 +77,11 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         spark = batch_df.sparkSession
         sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n)
 
-        # Replay-safe probe: (a) existence check goes through the Hadoop
-        # FileSystem API (correct for HDFS/S3, not just local disk);
+        # Replay-safe probe: (a) readiness check goes through the Hadoop
+        # FileSystem API (correct for HDFS/S3, not just local disk) and
+        # requires a COMMITTED child entry — a crashed first-epoch write
+        # leaves the dir present with only _temporary, which bare
+        # exists() would treat as a probe-able store (round-5 ADVICE);
         # (b) the store is filtered to ingest_batch < epoch_id so a
         # replayed epoch whose store partition was already written never
         # probes its own signatures (which would emit self-pairs and
@@ -88,7 +91,7 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         # partition instead of appending duplicates. The probe is
         # deterministic given the (immutable) < epoch store state, so
         # overwrite converges to the same content on every replay.
-        if hadoop_path_exists(spark, store_path):
+        if hadoop_store_ready(spark, store_path):
             flags = (
                 probe_signature_store(spark, store_path, batch_df,
                                       id_col, text_col, k=k, bands=bands,

@@ -55,6 +55,23 @@ def test_cc_labels_cached_across_queries(con):
     assert (id(con), _CC_PAIRS_SQL) in cc_oracle._CC_CACHE
 
 
+def test_cc_cache_survives_id_collision():
+    """A stale cache entry whose connection was GC'd (its id() reused
+    by a fresh connection with no _cc_labels table) must fall through
+    to a rebuild instead of returning a missing table name (round-5
+    ADVICE)."""
+    from etl_transparencia_sergipe_spark.plans import cc_oracle
+
+    c = duckdb.connect()
+    pairs_sql = "SELECT * FROM (VALUES (1, 2), (2, 3)) AS t(id_a, id_b)"
+    # simulate the collision: poison the cache for THIS connection's id
+    # while the connection holds no _cc_labels table
+    cc_oracle._CC_CACHE[(id(c), pairs_sql)] = "_cc_labels"
+    t = cc_oracle.cc_labels_duck(c, pairs_sql)
+    got = dict(c.execute(f"SELECT node, component FROM {t}").fetchall())
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_cc_oracle_exact_on_known_graph():
     """Chain + islands fixture: labels equal min reachable id."""
     from etl_transparencia_sergipe_spark.plans.cc_oracle import (

@@ -105,6 +105,32 @@ def test_stream_store_is_probeable_by_batch_path(spark, docs_batches,
     assert out.filter("old_id = new_id AND n_agree <> 16").count() == 0
 
 
+def test_uncommitted_store_dir_is_not_probed(spark, docs_batches,
+                                             tmp_path):
+    """A store dir left by a crashed mid-commit write (only _temporary
+    inside) must count as ABSENT: the replayed first epoch skips the
+    probe instead of failing parquet schema inference and wedging the
+    stream (round-5 ADVICE, medium)."""
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        hadoop_store_ready,
+    )
+
+    docs_dir, _ = docs_batches
+    store = tmp_path / "store_crashed"
+    (store / "_temporary").mkdir(parents=True)
+    flags = tmp_path / "flags_crashed"
+    assert not hadoop_store_ready(spark, str(store))
+    batch0 = spark.read.parquet(os.path.join(docs_dir, "batch0.parquet"))
+    sink = sigstore_ingest_sink(str(store), str(flags))
+    sink(batch0, 0)  # replayed first epoch: must not raise
+    # probe was skipped (no committed store to probe against) ...
+    assert not os.path.exists(str(flags))
+    # ... the batch's signatures were committed, and the store is now
+    # ready for the next epoch
+    assert hadoop_store_ready(spark, str(store))
+    assert spark.read.parquet(str(store)).count() == batch0.count()
+
+
 def test_epoch_replay_is_idempotent(spark, docs_batches, tmp_path):
     """Replay a finished epoch into the SAME store AND flags paths.
 
