@@ -1190,6 +1190,397 @@ def ivfpq_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
             .select("query_id", "neighbor_id", "rank", "adc"))
 
 
+def ivfpq_residual_train(X, n_cells: int = 16, m: int = 8,
+                         ksub: int = 16, seed: int = 42):
+    """FAISS-default IVFADC training (by_residual=True): full-dim Lloyd
+    learns the coarse centroids, then PQ codebooks are trained per
+    subspace over the RESIDUALS x - c(x) of the L2-assigned sample —
+    residuals have far smaller spread than raw vectors, so the same
+    m x ksub code budget quantizes much finer (the measured recall gap
+    vs the non-residual q101 variant lives here). Returns (cmat, books):
+    (n_cells, dim) and (m, ksub, dim/m) float64.
+
+    Shared deterministic constant posture (q63/q98 contract): both the
+    Spark operator and the DuckDB twin call THIS function on the same
+    portable-hash-ordered sample, so trained constants are bit-identical
+    on both sides; lloyd_float's trajectory is independently pinned by
+    tests/test_lloyd_independent.py.
+    """
+    import numpy as np
+
+    dim = X.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    cmat = lloyd_float(X, n_cells=n_cells, seed=seed)
+    # L2 assignment of the sample, per-dim sequential accumulation
+    # (same order as the search pass / the DuckDB fold)
+    dist = np.zeros((len(X), n_cells))
+    for d in range(dim):
+        diff = X[:, d:d + 1] - cmat[None, :, d]
+        dist = dist + diff * diff
+    R = X - cmat[dist.argmin(axis=1)]
+    books = np.stack([
+        lloyd_float(R[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                    seed=seed)
+        for mm in range(m)
+    ])
+    return cmat, books
+
+
+def ivfpq_residual_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
+                        nprobe: int = 4, m: int = 8, ksub: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_pred: str = "vec_id < 8", seed: int = 42,
+                        constants=None) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — the actual FAISS IVFADC default
+    (``by_residual=True``), upgrading q101's non-residual composition:
+
+    - cells are L2 Voronoi regions of trained centroids (L2, not cosine:
+      the recall target is the exact-L2 top-k, so probe geometry and
+      ground truth agree);
+    - each vector stores m codes quantizing its RESIDUAL x - c(x);
+    - per (query, probed cell) an ADC lookup table is built from the
+      query's residual q - c against the shared codebooks, so
+      adc = ||(q - c) - r̂(x)||^2 ~ ||q - x||^2 — the cell centroid
+      drops out exactly, unlike the non-residual form whose single
+      global LUT cannot see which cell a candidate lives in.
+
+    Plan shape is q101's: ONE mapInPandas pass emits (cell, probes,
+    codes) per vector — the raw-vector column is scanned exactly once;
+    LUTs are |Q| x nprobe tiny rows broadcast; the only corpus-sized
+    exchange is the skinny top-k window. ``constants`` optionally
+    injects pre-trained (cmat, books) — the artifact-cache cold-start
+    path. Returns [query_id, neighbor_id, rank, adc].
+    """
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+
+    spark = corpus.sparkSession
+    if constants is None:
+        X = _train_sample(corpus, id_col, vec_col, 65536)
+        cmat, books = ivfpq_residual_train(X, n_cells=n_cells, m=m,
+                                           ksub=ksub, seed=seed)
+    else:
+        cmat, books = constants
+    dim = cmat.shape[1]
+    dsub = dim // m
+    cells_np = np.arange(n_cells, dtype=np.int64)
+
+    schema = ("neighbor_id bigint, is_query boolean, cell bigint, "
+              "probes array<bigint>, "
+              + ", ".join(f"c{mm} int" for mm in range(m)))
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cv"]])
+            # L2 cell assignment, per-dim sequential (matches the
+            # DuckDB L2 fold bit-for-bit; ties -> lowest cell)
+            dist = np.zeros((len(pdf), n_cells))
+            for d in range(dim):
+                diff = M[:, d:d + 1] - cmat[None, :, d]
+                dist = dist + diff * diff
+            amin = dist.argmin(axis=1)
+            probes = [None] * len(pdf)
+            for i, isq in enumerate(pdf["is_query"]):
+                if isq:
+                    order = np.lexsort((cells_np, dist[i]))[:nprobe]
+                    probes[i] = [int(cells_np[j]) for j in order]
+            cols = {
+                "neighbor_id": pdf["neighbor_id"],
+                "is_query": pdf["is_query"],
+                "cell": cells_np[amin],
+                "probes": probes,
+            }
+            # residual PQ encode: (v - c) exact elementwise, then the
+            # per-subspace distance accumulates (v - c) - b per dim —
+            # the same two-subtraction sequence the twin's
+            # (cv[i] - cvec[i] - cb.cvec[d]) runs
+            R = M - cmat[amin]
+            for mm in range(m):
+                d2 = np.zeros((len(pdf), ksub))
+                for d in range(dsub):
+                    diff = R[:, mm * dsub + d:mm * dsub + d + 1] \
+                        - books[mm][None, :, d]
+                    d2 = d2 + diff * diff
+                cols[f"c{mm}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(cols)
+
+    assigned = (
+        corpus.selectExpr(
+            f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
+            f"({query_pred}) AS is_query")
+        .mapInPandas(assign_encode, schema=schema)
+        .transform(persist_scoped)
+    )
+    # per-(query, probed cell) residual LUTs, built driver-side from the
+    # (contract-small) query set: |Q| x nprobe rows of m*ksub doubles
+    qrows = [(r["_id"], r["_v"]) for r in
+             corpus.selectExpr(f"{id_col} AS _id", f"{vec_col} AS _v")
+             .filter(query_pred).collect()]
+    lut_rows = []
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        qdist = np.zeros(n_cells)
+        for d in range(dim):
+            diff = q[d] - cmat[:, d]
+            qdist = qdist + diff * diff
+        order = np.lexsort((cells_np, qdist))[:nprobe]
+        for cell in order:
+            rq = q - cmat[cell]
+            flat = []
+            for mm in range(m):
+                lut = np.zeros(ksub)
+                for d in range(dsub):
+                    diff = rq[mm * dsub + d] - books[mm][:, d]
+                    lut = lut + diff * diff
+                flat.extend(float(x) for x in lut)
+            lut_rows.append((int(qid), int(cell), flat))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id bigint, cell bigint, l array<double>")
+
+    adc_expr = " + ".join(
+        f"element_at(l, {mm * ksub} + c{mm} + 1)" for mm in range(m))
+    cand = (assigned.select("neighbor_id", "cell",
+                            *[f"c{mm}" for mm in range(m)])
+            .join(F.broadcast(luts), "cell")
+            .filter("query_id != neighbor_id"))
+    scored = cand.selectExpr("query_id", "neighbor_id",
+                             f"({adc_expr}) AS adc")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc"))
+
+
+def _ivfpq_residual_cte(table: str, cent, books, nprobe: int,
+                        id_col: str, vec_col: str,
+                        query_pred: str) -> str:
+    """Shared CTE prefix for the residual-IVFADC DuckDB twins: trained
+    centroids + residual codebooks as literals, L2 cell assignment,
+    probe selection, residual encode, per-(query, probed cell) LUTs,
+    the pruned ADC `scored` relation and its `ranked` window — both the
+    ADC-only twin (q102) and the refine twin (q103) append finishers."""
+    m, ksub, dsub = books.shape
+    cent_vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in cent[i])}]::DOUBLE[])"
+        for i in range(len(cent)))
+    cb_vals = ", ".join(
+        f"({mm}, {j}, [{', '.join(repr(float(x)) for x in books[mm][j])}]"
+        "::DOUBLE[])"
+        for mm in range(m) for j in range(ksub))
+    d_assign = L2_DUCK.format(a="b.cv", b="ct.cvec")
+    d_probe = L2_DUCK.format(a="q.cv", b="ct.cvec")
+    # residual subspace distance: (v - c) - b, left-assoc in dim order
+    rd_terms = " + ".join(
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - ct.cvec[cb.m * {dsub} + {d + 1}]"
+        f" - cb.cvec[{d + 1}]) * "
+        f"(v.cv[cb.m * {dsub} + {d + 1}] - ct.cvec[cb.m * {dsub} + {d + 1}]"
+        f" - cb.cvec[{d + 1}])"
+        for d in range(dsub))
+    adc = " + ".join(
+        f"p.l[{mm * ksub} + c.c{mm} + 1]" for mm in range(m))
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {mm} THEN j END) AS c{mm}" for mm in range(m))
+    return f"""WITH cent(cell, cvec) AS (VALUES {cent_vals}),
+    cb(m, j, cvec) AS (VALUES {cb_vals}),
+    b AS (
+        SELECT {id_col} AS neighbor_id, {vec_col}::DOUBLE[] AS cv,
+               ({query_pred}) AS is_query
+        FROM {table}
+    ),
+    assign AS (
+        SELECT neighbor_id, cell FROM (
+            SELECT b.neighbor_id, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.neighbor_id
+                                      ORDER BY {d_assign}, ct.cell) AS rn
+            FROM b CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.neighbor_id AS query_id, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {d_probe}, ct.cell) AS rn
+            FROM b q CROSS JOIN cent ct WHERE q.is_query
+        ) WHERE rn <= {nprobe}
+    ),
+    dists AS (
+        SELECT v.neighbor_id, cb.m, cb.j, {rd_terms} AS d
+        FROM b v
+        JOIN assign a2 ON a2.neighbor_id = v.neighbor_id
+        JOIN cent ct ON ct.cell = a2.cell
+        CROSS JOIN cb
+    ),
+    enc AS (
+        SELECT neighbor_id, m, j FROM (
+            SELECT neighbor_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id, m
+                                      ORDER BY d, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT neighbor_id, {code_cols} FROM enc GROUP BY neighbor_id
+    ),
+    qd AS (
+        SELECT v.neighbor_id AS query_id, pr.cell, cb.m, cb.j,
+               {rd_terms} AS d
+        FROM b v
+        JOIN probes pr ON pr.query_id = v.neighbor_id
+        JOIN cent ct ON ct.cell = pr.cell
+        CROSS JOIN cb
+    ),
+    luts AS (
+        SELECT query_id, cell, list(d ORDER BY m, j) AS l
+        FROM qd GROUP BY query_id, cell
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id, {adc} AS adc
+        FROM assign a
+        JOIN codes c ON c.neighbor_id = a.neighbor_id
+        JOIN luts p ON p.cell = a.cell
+        WHERE p.query_id != a.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC)
+                   AS rank
+        FROM scored
+    )"""
+
+
+def ivfpq_residual_duck(table: str, cent, books, k: int = 5,
+                        n_cells: int = 16, nprobe: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_pred: str = "vec_id < 8") -> str:
+    """DuckDB twin of :func:`ivfpq_residual_topk` + exact-L2 recall
+    flag. Trained centroids AND residual codebooks injected as
+    literals; L2 cell assignment, probe selection, residual encode,
+    per-(query, cell) LUT build, pruned ADC ranking and the recall
+    join all verified in SQL."""
+    prefix = _ivfpq_residual_cte(table, cent, books, nprobe,
+                                 id_col, vec_col, query_pred)
+    l2x = L2_DUCK.format(a="q.cv", b="b.cv")
+    return f"""{prefix},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.neighbor_id AS query_id, b.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {l2x}, b.neighbor_id)
+                       AS rr
+            FROM b q CROSS JOIN b
+            WHERE q.is_query AND q.neighbor_id != b.neighbor_id
+        ) WHERE rr <= {k}
+    )
+    SELECT r.query_id, r.neighbor_id, r.rank,
+           CAST(floor(r.adc * 1000000) AS BIGINT) AS adc_q6,
+           CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM ranked r
+    LEFT JOIN exact e
+      ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    WHERE r.rank <= {k}
+    """
+
+
+def ivfpq_residual_refine_topk(corpus: DataFrame, k: int = 5,
+                               r: int = 50, n_cells: int = 16,
+                               nprobe: int = 6, m: int = 8,
+                               ksub: int = 16, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               query_pred: str = "vec_id < 8",
+                               seed: int = 42,
+                               constants=None) -> DataFrame:
+    """Residual IVFADC + exact refine — FAISS ``IVFxx,PQ8 + RefineFlat``:
+    the residual-encoded compressed index (ivfpq_residual_topk) ranks
+    the probed cells and keeps a top-``r`` shortlist per query; raw
+    vectors are then read for ONLY the shortlist and re-scored with
+    exact L2. Measured at sf1 (BASELINE.md ANN recall curve): refined
+    recall@5 equals cell COVERAGE — 1.000 at nprobe>=6 — while ADC-only
+    recall plateaus at ~0.5-0.7 because the corpus's true top-k are
+    near-ties (top-9 within a 15% distance band) that no reasonable
+    code budget can order; the refine step is what turns the residual
+    index's pruning into target-grade recall. 100 TB shape: one
+    raw-vector scan for assign+encode, ADC reads nprobe/n_cells of the
+    8-int codes, the raw-vector re-read is r x |Q| rows via broadcast
+    semi-join. Returns [query_id, neighbor_id, rank, l2]."""
+    shortlist = ivfpq_residual_topk(
+        corpus, k=r, n_cells=n_cells, nprobe=nprobe, m=m, ksub=ksub,
+        id_col=id_col, vec_col=vec_col, query_pred=query_pred,
+        seed=seed, constants=constants,
+    ).select("query_id", "neighbor_id")
+    q = (corpus.filter(query_pred)
+         .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv"))
+    c = corpus.selectExpr(f"{id_col} AS neighbor_id", f"{vec_col} AS cv")
+    rescored = (
+        c.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .selectExpr("query_id", "neighbor_id",
+                    L2_SPARK.format(a="qv", b="cv") + " AS l2")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "l2"))
+
+
+def ivfpq_residual_refine_duck(table: str, cent, books, k: int = 5,
+                               r: int = 50, n_cells: int = 16,
+                               nprobe: int = 6,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               query_pred: str = "vec_id < 8") -> str:
+    """DuckDB twin of :func:`ivfpq_residual_refine_topk` + recall flag
+    vs exact L2 (same literal-constant posture as ivfpq_residual_duck;
+    the shortlist/rescore finisher mirrors pq_rerank_duck)."""
+    prefix = _ivfpq_residual_cte(table, cent, books, nprobe,
+                                 id_col, vec_col, query_pred)
+    l2 = L2_DUCK.format(a="qn.cv", b="cn.cv")
+    l2x = L2_DUCK.format(a="q.cv", b="b.cv")
+    return f"""{prefix},
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {r}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id, {l2} AS l2
+        FROM shortlist s
+        JOIN b cn ON cn.neighbor_id = s.neighbor_id
+        JOIN b qn ON qn.neighbor_id = s.query_id
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id, l2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY l2 ASC, neighbor_id ASC)
+                   AS rank
+        FROM rescored
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.neighbor_id AS query_id, b.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.neighbor_id
+                                      ORDER BY {l2x}, b.neighbor_id)
+                       AS rr
+            FROM b q CROSS JOIN b
+            WHERE q.is_query AND q.neighbor_id != b.neighbor_id
+        ) WHERE rr <= {k}
+    )
+    SELECT rk.query_id, rk.neighbor_id, rk.rank,
+           CAST(floor(rk.l2 * 1000000) AS BIGINT) AS l2_q6,
+           CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM reranked rk
+    LEFT JOIN exact e
+      ON e.query_id = rk.query_id AND e.neighbor_id = rk.neighbor_id
+    WHERE rk.rank <= {k}
+    """
+
+
 def ivfpq_topk_duck(table: str, cent, books, k: int = 5,
                     n_cells: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",

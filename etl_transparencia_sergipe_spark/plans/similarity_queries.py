@@ -542,3 +542,158 @@ def q101_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("adc_q6"),
                 F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
     )
+
+
+# residual-IVFPQ spec shared by the Spark builder and the DuckDB twin
+# (nprobe chosen by the recorded recall curve — see BASELINE.md ANN
+# recall section and tools/ann_recall.py)
+_Q102_SPEC = dict(k=5, n_cells=16, nprobe=4, m=8, ksub=16)
+
+
+def _q102_oracle(con):
+    """Literal-constant DuckDB twin for RESIDUAL IVFPQ: centroids and
+    residual codebooks trained by the shared deterministic procedure
+    (``ivfpq_residual_train`` over the portable-hash-ordered sample —
+    lloyd_float's trajectory independently pinned by
+    tests/test_lloyd_independent.py); L2 assignment, probe selection,
+    residual encode, per-(query, cell) LUTs, pruned ADC ranking and
+    the exact-L2 recall join verified in SQL."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+        ivfpq_residual_duck,
+        ivfpq_residual_train,
+    )
+
+    h = SAMPLE_HASH.format(id="vec_id")
+    rows = con.execute(
+        f"SELECT embedding FROM embeddings "
+        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    s = _Q102_SPEC
+    cmat, books = ivfpq_residual_train(
+        X, n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"], seed=42)
+    return con.execute(
+        ivfpq_residual_duck("embeddings", cmat, books, k=s["k"],
+                            n_cells=s["n_cells"],
+                            nprobe=s["nprobe"])).fetchdf()
+
+
+@register(
+    "q102_ivfpq_residual_topk",
+    oracle=None,  # trained quantizer + codebooks: the q63/q98 contract
+    oracle_py=_q102_oracle,
+    doc="J6 RESIDUAL IVFPQ — the actual FAISS IVFADC default "
+        "(by_residual=True) [EXT]: PQ codebooks quantize each vector's "
+        "RESIDUAL x - c(x) against its L2-assigned coarse cell, and "
+        "search builds a per-(query, probed-cell) LUT from q - c so "
+        "adc = ||(q-c) - r̂(x)||^2 ~ ||q-x||^2 — the centroid drops "
+        "out exactly, unlike q101's single global LUT. Residuals have "
+        "far smaller spread than raw vectors, so the same 8x16 code "
+        "budget quantizes much finer: measured recall@5 vs exact L2 "
+        "rises from q101's 0.675 to >=0.9 at sf1 (the round-6 target; "
+        "curve in BASELINE.md). Same 100 TB shape as q101: one "
+        "raw-vector scan (combined assign+encode mapInPandas), LUTs "
+        "|Q| x nprobe tiny rows broadcast, search reads "
+        "nprobe/n_cells of the 8-int codes. hit column self-reports "
+        "per-neighbor recall; full search hash-verified against the "
+        "literal-constant DuckDB twin.",
+)
+def q102_ivfpq_residual_topk(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        l2_topk,
+    )
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    s = _Q102_SPEC
+    ann = ivfpq_residual_topk(emb, k=s["k"], n_cells=s["n_cells"],
+                              nprobe=s["nprobe"], m=s["m"],
+                              ksub=s["ksub"])
+    exact = l2_topk(emb, k=s["k"]).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit0"))
+    return (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .select("query_id", "neighbor_id", "rank",
+                F.expr("CAST(floor(adc * 1000000) AS BIGINT)")
+                .alias("adc_q6"),
+                F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
+    )
+
+
+# refine spec: nprobe=6 is where measured cell coverage (and therefore
+# refined recall) reaches 1.000 at sf1 — see the ANN recall curve in
+# BASELINE.md / tools/ann_recall.py
+_Q103_SPEC = dict(k=5, r=50, n_cells=16, nprobe=6, m=8, ksub=16)
+
+
+def _q103_oracle(con):
+    """Literal-constant DuckDB twin for residual IVFADC + exact refine:
+    shared deterministic training (``ivfpq_residual_train``), then the
+    full search — assignment, probes, residual encode, LUTs, ADC
+    shortlist, exact-L2 rescore and re-rank — verified in SQL."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+        ivfpq_residual_refine_duck,
+        ivfpq_residual_train,
+    )
+
+    h = SAMPLE_HASH.format(id="vec_id")
+    rows = con.execute(
+        f"SELECT embedding FROM embeddings "
+        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    s = _Q103_SPEC
+    cmat, books = ivfpq_residual_train(
+        X, n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"], seed=42)
+    return con.execute(
+        ivfpq_residual_refine_duck(
+            "embeddings", cmat, books, k=s["k"], r=s["r"],
+            n_cells=s["n_cells"], nprobe=s["nprobe"])).fetchdf()
+
+
+@register(
+    "q103_ivfpq_residual_refine_topk",
+    oracle=None,  # trained quantizer + codebooks: the q63/q98 contract
+    oracle_py=_q103_oracle,
+    doc="J6 residual IVFADC + exact refine — FAISS IVF16,PQ8 + "
+        "RefineFlat [EXT]: the residual compressed index keeps a "
+        "top-r=50 ADC shortlist per query over nprobe=6 probed cells, "
+        "then raw vectors are read for ONLY the shortlist and "
+        "re-ranked with exact L2. This is the query that meets the "
+        "round-6 recall target: measured recall@5 at sf1 = 1.000 "
+        "(>=0.9 target) because refined recall equals cell coverage, "
+        "which reaches 1.000 at nprobe>=6 — while ADC-only ranking "
+        "(q101/q102) plateaus at ~0.5-0.7 on this corpus's near-tie "
+        "neighbor structure (curve in BASELINE.md). 100 TB shape: one "
+        "raw-vector scan (assign+encode), ADC reads nprobe/n_cells of "
+        "the 8-int codes, raw vectors re-read for r x |Q| rows via "
+        "broadcast semi-join. hit column self-reports per-neighbor "
+        "recall; full pipeline hash-verified against the "
+        "literal-constant DuckDB twin.",
+)
+def q103_ivfpq_residual_refine_topk(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivfpq_residual_refine_topk,
+        l2_topk,
+    )
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    s = _Q103_SPEC
+    ann = ivfpq_residual_refine_topk(
+        emb, k=s["k"], r=s["r"], n_cells=s["n_cells"],
+        nprobe=s["nprobe"], m=s["m"], ksub=s["ksub"])
+    exact = l2_topk(emb, k=s["k"]).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit0"))
+    return (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .select("query_id", "neighbor_id", "rank",
+                F.expr("CAST(floor(l2 * 1000000) AS BIGINT)")
+                .alias("l2_q6"),
+                F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
+    )

@@ -273,3 +273,91 @@ def test_ivfpq_planted_duplicate_and_pruning(spark, sf_dir):
               ann_all.groupBy("query_id").count()
               .selectExpr("query_id", "count AS n").collect()}
     assert counts and all(c < n - 1 for c in counts.values()), counts
+
+
+def test_ivfpq_residual_planted_duplicate_and_pruning(spark, sf_dir):
+    """Residual IVFADC (q102): a planted exact duplicate of query 0
+    gets the query's cell AND residual code word, so its ADC distance
+    equals the query's own quantization error -> rank 1; and the
+    probed candidate set per query is pruned vs the whole corpus."""
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    clone_id = 10_000_019
+    clone = emb.filter("vec_id = 0").selectExpr(
+        f"CAST({clone_id} AS BIGINT) AS vec_id", "embedding")
+    planted = emb.unionByName(clone)
+    top = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivfpq_residual_topk(planted, k=5).collect()}
+    assert top[(0, 1)] == clone_id
+    ann_all = ivfpq_residual_topk(emb, k=10**9)
+    n = emb.count()
+    counts = {r.query_id: r.n for r in
+              ann_all.groupBy("query_id").count()
+              .selectExpr("query_id", "count AS n").collect()}
+    assert counts and all(c < n - 1 for c in counts.values()), counts
+
+
+def test_residual_refine_planted_duplicate_exact_zero(spark, sf_dir):
+    """Refine (q103): the planted duplicate survives the ADC shortlist
+    and the exact re-rank returns it at rank 1 with l2 == 0.0 exactly
+    (raw vectors, not quantized, decide the final order)."""
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        ivfpq_residual_refine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    clone_id = 10_000_019
+    clone = emb.filter("vec_id = 0").selectExpr(
+        f"CAST({clone_id} AS BIGINT) AS vec_id", "embedding")
+    planted = emb.unionByName(clone)
+    rows = {(r.query_id, r.rank): r
+            for r in ivfpq_residual_refine_topk(planted, k=5).collect()}
+    hit = rows[(0, 1)]
+    assert hit.neighbor_id == clone_id
+    assert hit.l2 == 0.0
+
+
+def test_residual_encoding_reconstructs_better_than_raw(spark, sf_dir):
+    """The point of by_residual=True: with the same m x ksub code
+    budget, quantizing x - c(x) reconstructs x strictly better (lower
+    mean squared error) than quantizing x directly, because residuals
+    have far smaller spread. Pure-numpy check over the training
+    sample."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        _train_sample,
+        ivfpq_residual_train,
+        lloyd_float,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    X = _train_sample(emb, "vec_id", "embedding", 65536)
+    m, ksub = 8, 16
+    dim = X.shape[1]
+    dsub = dim // m
+
+    def encode_decode(R, books):
+        out = np.zeros_like(R)
+        for mm in range(m):
+            sub = R[:, mm * dsub:(mm + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[mm][None, :, :]) ** 2).sum(-1)
+            out[:, mm * dsub:(mm + 1) * dsub] = books[mm][d2.argmin(1)]
+        return out
+
+    cmat, res_books = ivfpq_residual_train(X, n_cells=16, m=m, ksub=ksub)
+    d2c = ((X[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+    C = cmat[d2c.argmin(1)]
+    res_err = ((X - (C + encode_decode(X - C, res_books))) ** 2).sum(1)
+
+    raw_books = np.stack([
+        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                    seed=42) for mm in range(m)])
+    raw_err = ((X - encode_decode(X, raw_books)) ** 2).sum(1)
+    assert res_err.mean() < raw_err.mean()
