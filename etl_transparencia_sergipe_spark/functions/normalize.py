@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -85,6 +86,61 @@ def term_filter_sql(expr: str, terms: tuple[str, ...] = ROYALTY_TERMS,
     inner = expr if pre_normalized else normalize_text_sql(expr)
     pattern = "|".join(re.escape(t) for t in terms)
     return f"regexp_matches({inner}, '{pattern}')"
+
+
+class _NormTable(dict):
+    """``str.translate`` table implementing accent-fold + Java-regex
+    ``[^a-zA-Z0-9\\s]`` deletion in ONE pass, lazily cached per
+    codepoint (``__missing__`` computes once, stores, returns; a char
+    mapped to itself is a keep, ``None`` is a delete). Mirrors the
+    SPARK expression's semantics exactly: the keep-set is ASCII
+    alphanumerics plus Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]`` —
+    non-ASCII letters outside the pt-BR accent map are deleted, as the
+    Java char class does."""
+
+    _ACC = {ord(a): b for a, b in zip(_ACCENTS_FROM, _ACCENTS_TO)}
+    _KEEP = set("abcdefghijklmnopqrstuvwxyz"
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\x0b\f\r")
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        out = self._ACC.get(cp, ch if ch in self._KEEP else None)
+        self[cp] = out
+        return out
+
+
+_NORM_TABLE = _NormTable()
+
+
+def term_filter_arrow(col: Column | str,
+                      terms: tuple[str, ...] = ROYALTY_TERMS) -> Column:
+    """Arrow-vectorized twin of ``term_filter(normalize_text(col))`` —
+    the measured fast path for full-document text.
+
+    The codegen expression pipeline materializes THREE JVM strings per
+    row (translate copy, regexp_replace copy, lower copy); at sf1 that
+    is 2.75 s warm for q02 vs DuckDB's 0.52 s (vectorized RE2). This
+    predicate does the whole normalize+match in one C-level
+    ``str.translate`` pass per batch with only booleans crossing Arrow
+    back: 0.58 s warm at sf1 — parity with the oracle. Guarded
+    ``when(clean, ...)`` routing was tried first and does NOT help:
+    Spark hoists the common normalize subexpression out of CaseWhen
+    branches, so both sides pay it (measured 2.68 s). Semantics are
+    bit-identical to the expression path (same keep-set as the Java
+    regex, ASCII-only lowercase after the strip); nulls -> false,
+    matching the SQL predicate's null-drop behavior in a WHERE clause.
+    """
+    name = col if isinstance(col, str) else None
+
+    @F.pandas_udf("boolean")
+    def _match(s: pd.Series) -> pd.Series:
+        n = s.str.translate(_NORM_TABLE).str.lower()
+        out = n.str.contains(terms[0], regex=False)
+        for t in terms[1:]:
+            out = out | n.str.contains(t, regex=False)
+        return out.fillna(False)
+
+    return _match(F.col(name) if name else col)
 
 
 def normalize_colname(name: str) -> str:

