@@ -1,0 +1,123 @@
+"""Trained-quantizer artifact store — "index build once, serve many".
+
+Round-5 VERDICT item 7: the trained-constant queries (q63 coarse
+centroids, q98/q99 PQ codebooks, q101 IVFPQ, q102/q103 residual IVFADC)
+re-trained their quantizers on every cold plan build — a bounded
+(65536-row) but real cost: one Spark sample job + Arrow fetch + driver
+Lloyd iterations, ~40% of q101's cold-vs-warm gap. This store persists
+the trained numpy constants as parquet artifacts keyed by
+(kind, source fingerprint, spec, seed) and loads them at plan build,
+the same posture q81 already gives the MinHash signature store.
+
+Design notes:
+- The key fingerprints the SOURCE DATA (path + file size + mtime of the
+  backing parquet), so regenerating a fixture invalidates the artifact
+  instead of silently serving a stale quantizer. Stale entries linger
+  under old keys (cheap; delete the store dir to GC).
+- Artifacts are plain parquet readable by any engine: rows
+  (name, i, vec array<double>) with the original array shapes in the
+  file's key-value metadata — no pickles.
+- Writes are atomic (tmp file + rename), so a crashed trainer never
+  leaves a half-written artifact a later plan build would trust.
+- The DuckDB oracle twins deliberately DO NOT read this store — they
+  retrain from scratch, so a corrupted/stale artifact shows up as a
+  hash mismatch at the correctness gate rather than passing silently.
+
+Store location: $SPARK_GRAFT_ARTIFACTS or <repo>/.artifacts/quantizers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+STORE_VERSION = 1
+
+
+def _store_dir() -> Path:
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    if env:
+        return Path(env)
+    return Path(__file__).resolve().parents[2] / ".artifacts" / "quantizers"
+
+
+def _fingerprint(source_path: str) -> list:
+    """(path, size, mtime_ns) per backing file — directories fingerprint
+    their parquet parts so an overwritten fixture changes the key."""
+    p = Path(source_path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    out = [os.path.abspath(source_path)]
+    for f in files:
+        try:
+            st = f.stat()
+            out.append([f.name, st.st_size, st.st_mtime_ns])
+        except OSError:
+            out.append([str(f), None, None])
+    return out
+
+
+def artifact_key(kind: str, source_path: str, spec: dict) -> str:
+    payload = json.dumps(
+        [STORE_VERSION, kind, _fingerprint(source_path),
+         sorted(spec.items())],
+        default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def _save(path: Path, arrays: dict) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names, idxs, vecs = [], [], []
+    shapes = {}
+    for name, arr in arrays.items():
+        a = np.asarray(arr, dtype=np.float64)
+        shapes[name] = list(a.shape)
+        flat = a.reshape(-1, a.shape[-1])
+        for i in range(len(flat)):
+            names.append(name)
+            idxs.append(i)
+            vecs.append(flat[i].tolist())
+    table = pa.table(
+        {"name": names, "i": idxs, "vec": vecs},
+        metadata={b"shapes": json.dumps(shapes).encode()})
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _load(path: Path) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    shapes = json.loads(table.schema.metadata[b"shapes"].decode())
+    names = table.column("name").to_pylist()
+    idxs = table.column("i").to_pylist()
+    vecs = table.column("vec").to_pylist()
+    out = {}
+    for name, shape in shapes.items():
+        rows = sorted((i, v) for n, i, v in zip(names, idxs, vecs)
+                      if n == name)
+        flat = np.array([v for _, v in rows], dtype=np.float64)
+        out[name] = flat.reshape(shape)
+    return out
+
+
+def get_or_train(kind: str, source_path: str, spec: dict, trainer):
+    """Return the trained constants dict for (kind, source, spec),
+    loading from the artifact store when present, else calling
+    ``trainer()`` (-> dict[str, ndarray]) and persisting the result.
+    Training is deterministic (seeded Lloyd over the portable-hash
+    sample), so a cache hit is bit-identical to a retrain — pinned by
+    tests/test_quantizer_store.py."""
+    path = _store_dir() / f"{kind}-{artifact_key(kind, source_path, spec)}.parquet"
+    if path.exists():
+        return _load(path)
+    arrays = trainer()
+    _save(path, arrays)
+    return arrays

@@ -489,16 +489,23 @@ def ivf_topk_trained(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                      nprobe: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      query_pred: str = "vec_id < 8",
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, cmat=None) -> DataFrame:
     """IVF ANN with a TRAINED k-means coarse quantizer (seed fixed): same
     cell-search plan as :func:`ivf_topk`, but cells are Voronoi regions of
     learned centroids instead of lowest-id samples — balanced cell sizes,
     which is what keeps nprobe/n_cells pruning effective on clustered
     real-world embedding distributions. KMeans assignments aren't
     SQL-expressible, so this tier is rows-only in the driver check; the
-    oracle-checked ivf_topk shares every line of the search plan."""
-    cent = kmeans_centroids(corpus, n_cells=n_cells, vec_col=vec_col,
-                            seed=seed)
+    oracle-checked ivf_topk shares every line of the search plan.
+    ``cmat`` optionally injects pre-trained centroids (the artifact-
+    store cold-start path)."""
+    if cmat is not None:
+        rows = [(i, [float(x) for x in cmat[i]]) for i in range(len(cmat))]
+        cent = corpus.sparkSession.createDataFrame(
+            rows, "cell bigint, cvec array<double>")
+    else:
+        cent = kmeans_centroids(corpus, n_cells=n_cells, vec_col=vec_col,
+                                seed=seed)
     return _ivf_cell_search(corpus, cent, k=k, nprobe=nprobe,
                             id_col=id_col, vec_col=vec_col,
                             query_pred=query_pred)
@@ -826,7 +833,8 @@ def pq_query_luts(spark, queries, books):
 
 def pq_topk(corpus: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            query_pred: str = "vec_id < 8", seed: int = 42) -> DataFrame:
+            query_pred: str = "vec_id < 8", seed: int = 42,
+            books=None) -> DataFrame:
     """PQ-ADC approximate top-k: encode the corpus to m-byte codes, then
     rank candidates by asymmetric distance — the query's per-subspace
     lookup table indexed by each code, summed left-to-right in pure
@@ -841,8 +849,9 @@ def pq_topk(corpus: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     spark = corpus.sparkSession
-    books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col, seed=seed)
+    if books is None:
+        books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col,
+                             vec_col=vec_col, seed=seed)
     qrows = [(r["_id"], r["_v"]) for r in
              corpus.selectExpr(f"{id_col} AS _id", f"{vec_col} AS _v")
              .filter(query_pred).collect()]
@@ -1004,7 +1013,7 @@ def pq_rerank_topk(corpus: DataFrame, k: int = 5, r: int = 50,
                    m: int = 8, ksub: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_pred: str = "vec_id < 8",
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, books=None) -> DataFrame:
     """PQ-ADC shortlist + exact re-rank (the FAISS refine posture): the
     compressed index ranks the WHOLE corpus (pq_topk), then raw vectors
     are read for only the top-``r`` shortlist per query and re-scored
@@ -1015,7 +1024,8 @@ def pq_rerank_topk(corpus: DataFrame, k: int = 5, r: int = 50,
     """
     shortlist = pq_topk(corpus, k=r, m=m, ksub=ksub, id_col=id_col,
                         vec_col=vec_col, query_pred=query_pred,
-                        seed=seed).select("query_id", "neighbor_id")
+                        seed=seed, books=books) \
+        .select("query_id", "neighbor_id")
     q = (corpus.filter(query_pred)
          .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv"))
     c = corpus.selectExpr(f"{id_col} AS neighbor_id", f"{vec_col} AS cv")
@@ -1134,7 +1144,7 @@ def ivfpq_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                nprobe: int = 4, m: int = 8, ksub: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                query_pred: str = "vec_id < 8",
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, constants=None) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFADC architecture, non-residual
     variant): the trained coarse quantizer prunes to ``nprobe`` of
     ``n_cells`` Voronoi cells per query, and candidates are ranked by
@@ -1150,18 +1160,25 @@ def ivfpq_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
     spark = corpus.sparkSession
-    # BOTH quantizers (coarse cells + PQ codebooks) train on the SAME
-    # deterministic sample — fetch it once (it was the largest fixed
-    # cost of the query: two Arrow fetches + two Lloyd preambles)
-    X = _train_sample(corpus, id_col, vec_col, 65536)
-    dim = X.shape[1]
-    dsub = dim // m
-    books = np.stack([
-        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
-                    seed=seed)
-        for mm in range(m)
-    ])
-    cmat = lloyd_float(X, n_cells=n_cells, seed=seed)
+    if constants is None:
+        # BOTH quantizers (coarse cells + PQ codebooks) train on the SAME
+        # deterministic sample — fetch it once (it was the largest fixed
+        # cost of the query: two Arrow fetches + two Lloyd preambles)
+        X = _train_sample(corpus, id_col, vec_col, 65536)
+        dim = X.shape[1]
+        dsub = dim // m
+        books = np.stack([
+            lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                        seed=seed)
+            for mm in range(m)
+        ])
+        cmat = lloyd_float(X, n_cells=n_cells, seed=seed)
+    else:
+        # artifact-store path (operators/quantizer_store.py): trained
+        # once, served from parquet — the cold-start parity fix
+        cmat, books = constants
+        dim = cmat.shape[1]
+        dsub = dim // m
     cells_np = np.arange(n_cells, dtype=np.int64)
     ncells = n_cells
     # centroid norms accumulated per-dimension (matches _ivf_cell_search

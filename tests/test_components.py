@@ -126,3 +126,80 @@ def test_incremental_components_deep_merge_chain(spark):
            for r in incremental_components(stored, new_pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 80
+
+
+def _uf_min_labels(edges, nodes):
+    """Independent oracle: union-find, component = min member id."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_incremental_components_property(spark):
+    """Round-5 VERDICT item 8: property-test the contraction update.
+    Hypothesis generates random (old edges, new batch) splits; each
+    example packs ~30 cases into DISJOINT node-id ranges and runs
+    incremental_components ONCE over their union (disjoint graphs
+    cannot interact, so one Spark run verifies all 30 independently
+    — 8 examples x 30 graphs = 240 generated cases per run). Expected
+    labels come from an INDEPENDENT union-find oracle, not from
+    connected_components, so the equivalence claim
+    incremental(labels(old), new) == components(old UNION new) is
+    checked against third-party ground truth."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_transparencia_sergipe_spark.operators.components import (
+        incremental_components,
+    )
+
+    case = st.tuples(
+        st.integers(2, 10),                      # nodes in the old graph
+        st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                 max_size=12),                   # old edges (mod n_old)
+        st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                 min_size=1, max_size=8),        # new edges (may add nodes)
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(case, min_size=30, max_size=30))
+    def run(cases):
+        old_edges, new_edges, old_nodes, all_nodes = [], [], set(), set()
+        for ci, (n_old, oe, ne) in enumerate(cases):
+            base = ci * 1000
+            for a, b in oe:
+                a, b = base + a % n_old, base + b % n_old
+                if a != b:
+                    old_edges.append((min(a, b), max(a, b)))
+                    old_nodes.update((a, b))
+            for a, b in ne:
+                a, b = base + a, base + b
+                if a != b:
+                    new_edges.append((min(a, b), max(a, b)))
+                    all_nodes.update((a, b))
+        all_nodes |= old_nodes
+        if not new_edges:
+            return
+        # stored labels: independent union-find over the old graph
+        stored_labels = _uf_min_labels(old_edges, old_nodes)
+        stored = spark.createDataFrame(
+            sorted(stored_labels.items()), "node bigint, component bigint")
+        new_df = spark.createDataFrame(new_edges or [(0, 0)],
+                                       "id_a bigint, id_b bigint")
+        got = {r.node: r.component
+               for r in incremental_components(stored, new_df).collect()}
+        want = _uf_min_labels(old_edges + new_edges, all_nodes)
+        assert got == want
+
+    run()
