@@ -87,7 +87,9 @@ def parquet_files(path: str) -> list[str]:
 
 
 def compact_parquet(spark: SparkSession, path: str,
-                    target_bytes: int = 128 * 1024 * 1024) -> dict:
+                    target_bytes: int = 128 * 1024 * 1024,
+                    sort_cols: list[str] | None = None,
+                    zorder_cols: list[str] | None = None) -> dict:
     """Bin-pack a parquet directory into ~target_bytes files, in place.
 
     Sizes the output file count from the CURRENT on-disk bytes (the
@@ -97,8 +99,20 @@ def compact_parquet(spark: SparkSession, path: str,
     _SUCCESS-gated publish) provides; the local twin keeps the same
     write-then-swap ordering so readers never see a half-written mix.
 
+    ``sort_cols`` range-clusters the rewrite (operators/layout.py
+    sorted_write: globally disjoint per-file key ranges + tight
+    per-row-group min/max) — compaction is THE moment layout is free,
+    since the data is being rewritten anyway; a later range predicate
+    on the sort key then skips row groups instead of scanning them
+    (measured: tools/bench_layout.py / BASELINE.md round-6 layout
+    section). ``zorder_cols`` instead interleaves multiple keys
+    (operators/layout.py zorder_write) for pruning on every listed
+    column. Mutually exclusive.
+
     Returns {"files_before", "files_after", "bytes", "rows"}.
     """
+    if sort_cols and zorder_cols:
+        raise ValueError("sort_cols and zorder_cols are mutually exclusive")
     files = parquet_files(path)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
@@ -106,12 +120,23 @@ def compact_parquet(spark: SparkSession, path: str,
     rows = df.count()
 
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    # repartition (not coalesce): coalesce(n) glues existing partitions
-    # without a shuffle, so one surviving task may concatenate most of
-    # the input and skew the output file sizes; the shuffle is the cost
-    # of even bin-packing and is proportional to the data being
-    # rewritten anyway
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if sort_cols:
+        from etl_transparencia_sergipe_spark.operators.layout import (
+            sorted_write,
+        )
+        sorted_write(df, tmp, sort_cols, n_files=n_out)
+    elif zorder_cols:
+        from etl_transparencia_sergipe_spark.operators.layout import (
+            zorder_write,
+        )
+        zorder_write(df, tmp, zorder_cols, n_files=n_out)
+    else:
+        # repartition (not coalesce): coalesce(n) glues existing
+        # partitions without a shuffle, so one surviving task may
+        # concatenate most of the input and skew the output file sizes;
+        # the shuffle is the cost of even bin-packing and is
+        # proportional to the data being rewritten anyway
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -58,6 +58,10 @@ def rowgroup_skip_fraction(path: str, col: str, lo, hi) -> dict:
         # are naive UTC — compare on one convention
         if isinstance(v, datetime.datetime) and v.tzinfo is not None:
             return v.replace(tzinfo=None)
+        # date-typed bounds vs timestamp-typed stats (or vice versa):
+        # promote date -> midnight datetime so mixed columns compare
+        if type(v) is datetime.date:
+            return datetime.datetime(v.year, v.month, v.day)
         return v
 
     lo, hi = _naive(lo), _naive(hi)

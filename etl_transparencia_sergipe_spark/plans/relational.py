@@ -19,7 +19,6 @@ from etl_transparencia_sergipe_spark.functions.money import (
 from etl_transparencia_sergipe_spark.functions.normalize import (
     normalize_text,
     normalize_text_sql,
-    term_filter,
     term_filter_arrow,
     term_filter_sql,
 )

@@ -13,6 +13,10 @@ Scenarios:
 - click_purchase_join (stream-stream interval join, both sides
   watermarked, state bounded by the 30 min horizon)
 - running_user_stats (applyInPandasWithState custom stateful op, update)
+- scd2_intervals   (applyInPandasWithState SCD2 run-closer, append)
+- sigstore_sink    (foreachBatch probe-then-append incremental dedup
+  over the documents table, replay-idempotent parquet signature store;
+  measured in docs/sec over its own 8-shard stream)
 
 Prints one JSON line: {"n_events", "sf_dir", "scenarios": {name:
 {"sec", "events_per_sec", "out_rows"}}}.
@@ -34,6 +38,9 @@ from etl_transparencia_sergipe_spark.session import get_spark  # noqa: E402
 from etl_transparencia_sergipe_spark.sources.catalog import (  # noqa: E402
     load_table,
     normalize_event_ts,
+)
+from etl_transparencia_sergipe_spark.streaming.scd2 import (  # noqa: E402
+    scd2_stream,
 )
 from etl_transparencia_sergipe_spark.streaming.stateful import (  # noqa: E402
     running_user_stats,
@@ -114,6 +121,7 @@ def main() -> None:
             "append"),
         "running_user_stats": (
             lambda s: running_user_stats(s, expire_state=False), "update"),
+        "scd2_intervals": (scd2_stream, "append"),
     }
 
     out: dict[str, dict] = {}
@@ -123,16 +131,55 @@ def main() -> None:
         out[name] = {
             "sec": round(sec, 3),
             "events_per_sec": round(n_events / sec),
+            "sec_per_batch": round(sec / N_SHARDS, 3),
             "out_rows": rows,
         }
         print(f"# {name}: {sec:.2f}s  "
               f"{n_events / sec:,.0f} ev/s  {rows} out rows",
               file=sys.stderr)
 
+    n_docs = bench_sigstore(spark, sf_dir, out)
+
     print(json.dumps({
-        "n_events": n_events, "sf_dir": sf_dir, "n_microbatches": N_SHARDS,
+        "n_events": n_events, "n_docs": n_docs, "sf_dir": sf_dir,
+        "n_microbatches": N_SHARDS,
         "state_store": provider, "scenarios": out,
     }))
+
+
+def bench_sigstore(spark, sf_dir: str, out: dict) -> int:
+    """foreachBatch sigstore sink over an 8-shard documents stream:
+    every micro-batch probes the committed store (asymmetric old x new
+    band join) and appends its signatures as a new ingest_batch
+    partition — the reference's month-at-a-time incremental model."""
+    from etl_transparencia_sergipe_spark.streaming.sigstore_stream import (
+        run_ingest_dedup,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch", f"sig_bench_{tag}"))
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    docs_dir = os.path.join(base, "docs")
+    docs.repartition(N_SHARDS).write.mode("overwrite").parquet(docs_dir)
+    t0 = time.time()
+    run_ingest_dedup(spark, docs_dir,
+                     store_path=os.path.join(base, "store"),
+                     flags_path=os.path.join(base, "flags"),
+                     checkpoint_dir=os.path.join(base, "ckpt"))
+    sec = time.time() - t0
+    flags = spark.read.parquet(os.path.join(base, "flags")).count()
+    out["sigstore_sink"] = {
+        "sec": round(sec, 3),
+        "docs_per_sec": round(n_docs / sec),
+        "sec_per_batch": round(sec / N_SHARDS, 3),
+        "out_rows": flags,
+    }
+    print(f"# sigstore_sink: {sec:.2f}s  {n_docs / sec:,.0f} docs/s  "
+          f"{flags} flagged", file=sys.stderr)
+    return n_docs
 
 
 if __name__ == "__main__":
