@@ -107,3 +107,68 @@ def fingerprint_spark(text: str) -> str:
 
 def fingerprint_duck(text: str) -> str:
     return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
+
+
+def dsir_keep(docs, target_pred: str, n_buckets: int = 1024,
+              text_col: str = "text", id_col: str = "doc_id",
+              carry_cols: tuple[str, ...] = ("lang",)):
+    """DSIR-style importance resampling core (Xie et al. 2023) ->
+    DataFrame[id, *carry_cols, score, keep].
+
+    Scores each document by how target-domain-like its hashed-unigram
+    distribution is (portable md5 h60 buckets, Laplace-smoothed
+    target/raw count models, per-bucket RATIONAL importance ratio
+    quantized to 1e-6 — the q100 rational-idf precedent, no ln()), then
+    keeps a doc iff h60(id) mod 1e6 < 1e6 * score / max_score —
+    deterministic resampling with probability proportional to score.
+    q104 is the registered aggregate view; this operator is the
+    reusable per-document form (tests drive it with a constructed
+    two-vocabulary corpus, where the kept set must skew target-like).
+
+    Scale: the n_buckets model is one partial-aggregable groupBy +
+    broadcast; scoring is one more token pass with map-side combine on
+    the doc id; both persisted frames are model/doc-count sized, never
+    token-stream sized.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+    from etl_transparencia_sergipe_spark.operators.dedup import tokens_spark
+    from etl_transparencia_sergipe_spark.operators.hashing import h60_spark
+
+    carry = list(carry_cols)
+    toks = docs.selectExpr(
+        id_col, *carry, f"explode({tokens_spark(text_col)}) AS t"
+    ).selectExpr(id_col, *carry,
+                 f"({h60_spark('t')}) % {n_buckets} AS bucket")
+
+    models = toks.groupBy("bucket").agg(
+        F.count("*").alias("r"),
+        F.count(F.when(F.expr(target_pred), 1)).alias("t"))
+    models = models.transform(persist_scoped)
+    totals = models.agg(F.sum("r").alias("rtot"), F.sum("t").alias("ttot"))
+    ratio = (
+        models.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "bucket",
+            f"CAST(floor(1000000.0D"
+            f" * CAST((t + 1) * (rtot + {n_buckets}) AS DOUBLE)"
+            f" / CAST((r + 1) * (ttot + {n_buckets}) AS DOUBLE))"
+            f" AS BIGINT) AS ratio_q6")
+    )
+    scores = (
+        toks.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col, *carry)
+        .agg(F.sum("ratio_q6").cast("bigint").alias("score"))
+        .transform(persist_scoped)
+    )
+    smax = scores.agg(F.max("score").alias("m"))
+    return (
+        scores.crossJoin(F.broadcast(smax))
+        .selectExpr(
+            id_col, *carry, "score",
+            f"CASE WHEN ({h60_spark(f'CAST({id_col} AS STRING)')}) % 1000000"
+            " < CAST(floor(1000000.0D * CAST(score AS DOUBLE)"
+            " / CAST(m AS DOUBLE)) AS BIGINT)"
+            " THEN 1 ELSE 0 END AS keep")
+    )

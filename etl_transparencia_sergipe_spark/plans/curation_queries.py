@@ -390,3 +390,104 @@ def q80_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs_kept"),
              F.sum("n_tok").cast("bigint").alias("tokens_kept"))
     )
+
+
+# --- DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") -----------------------
+_DSIR_B = 1024               # hashed-feature buckets
+_DSIR_TARGET = "lang = 'en'"  # target-domain proxy (the paper's target set)
+
+
+@register(
+    "q104_dsir_importance_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ({h60_duck('t')}) % {_DSIR_B} AS bucket
+        FROM documents, unnest({tokens_duck('text')}) AS u(t)
+    ),
+    raw_model AS (
+        SELECT bucket, COUNT(*) AS r FROM toks GROUP BY bucket
+    ),
+    tgt_model AS (
+        SELECT bucket, COUNT(*) AS t FROM toks
+        WHERE {_DSIR_TARGET} GROUP BY bucket
+    ),
+    totals AS (
+        SELECT (SELECT COUNT(*) FROM toks) AS rtot,
+               (SELECT COUNT(*) FROM toks WHERE {_DSIR_TARGET}) AS ttot
+    ),
+    ratio AS (
+        SELECT rm.bucket,
+               CAST(floor(
+                   1000000.0e0
+                   * CAST((COALESCE(tm.t, 0) + 1)
+                          * (totals.rtot + {_DSIR_B}) AS DOUBLE)
+                   / CAST((rm.r + 1)
+                          * (totals.ttot + {_DSIR_B}) AS DOUBLE)
+               ) AS BIGINT) AS ratio_q6
+        FROM raw_model rm
+        LEFT JOIN tgt_model tm ON tm.bucket = rm.bucket
+        CROSS JOIN totals
+    ),
+    doc_buckets AS (
+        SELECT doc_id, lang, bucket, COUNT(*) AS c
+        FROM toks GROUP BY doc_id, lang, bucket
+    ),
+    scores AS (
+        SELECT db.doc_id, db.lang,
+               CAST(SUM(db.c * ratio.ratio_q6) AS BIGINT) AS score
+        FROM doc_buckets db JOIN ratio ON ratio.bucket = db.bucket
+        GROUP BY db.doc_id, db.lang
+    ),
+    smax AS (SELECT MAX(score) AS m FROM scores),
+    kept AS (
+        SELECT s.lang, s.score,
+               CASE WHEN ({h60_duck('CAST(s.doc_id AS VARCHAR)')}) % 1000000
+                    < CAST(floor(1000000.0e0 * CAST(s.score AS DOUBLE)
+                                 / CAST(smax.m AS DOUBLE)) AS BIGINT)
+                    THEN 1 ELSE 0 END AS keep
+        FROM scores s CROSS JOIN smax
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(score) AS BIGINT) AS score_sum
+    FROM kept GROUP BY lang
+    """,
+    doc="DSIR-style importance resampling (Xie et al. 2023) [EXT]: score "
+        "every document by how target-domain-like its hashed-unigram "
+        "distribution is, then hash-resample with probability "
+        "proportional to the score. Features are portable-md5-hashed "
+        f"unigrams in {_DSIR_B} buckets; the target/raw bucket models "
+        "use Laplace(+1) smoothing and the per-bucket importance weight "
+        "is a RATIONAL ratio quantized to 1e-6 — the q100 rational-idf "
+        "precedent: no ln() anywhere, so scores are bit-identical "
+        "cross-engine (the paper's log-ratio is a monotone per-bucket "
+        "transform of the same counts; this variant keeps the ranking "
+        "signal while staying hash-verifiable; exact-integer products "
+        "stay under 2^53 for per-bucket token counts < ~3e9 — beyond "
+        "that shard the model). The resample keeps a doc iff "
+        "h60(doc_id) mod 1e6 < 1e6 * score / max_score — deterministic, "
+        "reproducible across runs and engines (the q68 hash-bucket "
+        "pattern). 100 TB shape: the B-bucket model is two partial "
+        "aggregates + one broadcast; scoring shuffles (doc_id, bucket) "
+        "once then doc_id once; no driver-side state beyond the 1-row "
+        "max.",
+)
+def q104_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.textstats import dsir_keep
+
+    docs = load(spark, "documents", sf_dir)
+    # score = sum over TOKENS of ratio[bucket(token)] — identical exact
+    # integer sum to the oracle's count-then-multiply doc_buckets CTE,
+    # but the broadcast-join + doc_id partial agg compresses map-side to
+    # ~1 row per doc per partition, so no (doc_id, bucket)-sized shuffle
+    # (measured 4.2 s of the sf1 wall in the first formulation)
+    kept = dsir_keep(docs, _DSIR_TARGET, n_buckets=_DSIR_B)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("keep").cast("bigint").alias("n_kept"),
+             F.sum("score").cast("bigint").alias("score_sum"))
+    )

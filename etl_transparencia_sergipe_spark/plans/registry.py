@@ -157,6 +157,12 @@ _LOADED = False
 # slot spent on a second rows-only row would duplicate q103's
 # evidence. Expected CORRECTNESS_r06 rows-only population: q92 + q103
 # (= 2, both documented here).
+#
+# Late round 6: q104 (DSIR-style importance resampling, full SQL
+# oracle, shipped this round) enters for driver certification,
+# displacing q64 (driver-green hash rows in r04 AND r05, unchanged;
+# the curation family keeps q57/q66 in-window and q64 stays
+# hash-verified in the local gate every round).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -169,7 +175,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q91_media_ahash_neardup", "q92_rolling_active_hll",
     "q50_tumbling_window", "q100_bm25_topk", "q52_session_windows",
     "q57_pack_chunks",
-    "q64_decontamination", "q66_repetition_ratio",
+    "q104_dsir_importance_sample", "q66_repetition_ratio",
     "q05_top_customers", "q97_incremental_cc",
     "q20_token_stats", "q30_exact_dedup",
     "q71_multimodal_features",

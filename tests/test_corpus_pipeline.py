@@ -108,3 +108,32 @@ def test_compact_parquet_clustered_rewrite_skips_rowgroups(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         compact_parquet(spark, clus, sort_cols=["k"], zorder_cols=["k"])
+
+
+def test_dsir_keeps_target_like_documents(spark):
+    """DSIR semantics on a corpus where the signal is unambiguous: two
+    disjoint vocabularies, target = domain 'a' docs. Every a-doc's
+    tokens hit buckets where t ~ r (ratio >> 1) and every b-doc's hit
+    t = 0 buckets (ratio ~ 0), so a-docs must score higher and be kept
+    at a strictly higher rate. (The registered q104 runs on the shared-
+    vocabulary synthetic fixture where this skew is weak; hash
+    verification covers its arithmetic — THIS pins the semantics.)"""
+    from etl_transparencia_sergipe_spark.operators.textstats import dsir_keep
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "a", "alpha beta gamma delta " * 5))
+    for i in range(60, 120):
+        rows.append((i, "b", "omega sigma tau kappa " * 5))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = dsir_keep(docs, "lang = 'a'", n_buckets=64).collect()
+    a = [r for r in out if r.lang == "a"]
+    b = [r for r in out if r.lang == "b"]
+    assert min(r.score for r in a) > max(r.score for r in b)
+    keep_a = sum(r.keep for r in a) / len(a)
+    keep_b = sum(r.keep for r in b) / len(b)
+    assert keep_a > keep_b
+    # every max-score doc is kept (prob = 1e6/1e6... strictly < — the
+    # top doc keeps iff its hash < 1e6 * s/smax = 1e6; h60 % 1e6 is
+    # always < 1e6, so yes)
+    assert all(r.keep == 1 for r in a if r.score == max(x.score for x in a))
