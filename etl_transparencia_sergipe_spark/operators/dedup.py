@@ -67,7 +67,7 @@ def shingles_duck(text: str, n: int = 3) -> str:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3) -> DataFrame:
+                 n: int = 3, carry: tuple[str, ...] = ()) -> DataFrame:
     """Word n-grams as ROWS (doc_id, s) — the codegen-friendly shingler.
 
     ``shingles_spark`` builds the n-gram array with higher-order-function
@@ -81,12 +81,13 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     duplicate-insensitive (min-aggregates are).
 
     Short docs (< n tokens) emit the whole token string once, matching
-    ``shingles_spark``.
+    ``shingles_spark``. ``carry`` lists extra columns (functional on the
+    id, e.g. source) to ride along in the output rows.
     """
     from pyspark.sql.window import Window
 
     tok = df.selectExpr(
-        f"{id_col} AS doc_id",
+        f"{id_col} AS doc_id", *carry,
         f"posexplode(split(lower(trim({text_col})), '\\\\s+')) AS (pos, t)",
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -97,7 +98,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     return (
         out.withColumn("cnt", F.count("*").over(Window.partitionBy("doc_id")))
         .filter(f"(cnt >= {n} AND pos <= cnt - {n}) OR (cnt < {n} AND pos = 0)")
-        .select("doc_id", F.concat_ws(" ", *leads).alias("s"))
+        .select("doc_id", *carry, F.concat_ws(" ", *leads).alias("s"))
     )
 
 

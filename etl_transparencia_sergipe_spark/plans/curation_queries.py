@@ -23,6 +23,7 @@ from etl_transparencia_sergipe_spark.operators.dedup import (
 from etl_transparencia_sergipe_spark.operators.hashing import (
     h60_duck,
     h60_spark,
+    perm_hash_duck,
 )
 from etl_transparencia_sergipe_spark.plans._helpers import load
 from etl_transparencia_sergipe_spark.plans.registry import register
@@ -490,4 +491,135 @@ def q104_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.sum("keep").cast("bigint").alias("n_kept"),
              F.sum("score").cast("bigint").alias("score_sum"))
+    )
+
+
+# --- Bloom-filter decontamination ---------------------------------------
+# A portable, SQL-expressible Bloom filter: W 64-bit words aggregated
+# with bit_or, k=4 universal hashes from the shared md5-based family
+# (operators/hashing.py). The mergeable-bitset shape is THE way a
+# benchmark-membership test ships to 1000 executors at 100 TB: the
+# filter is built once (tiny aggregate), broadcast as W*8 bytes, and
+# every probe is pure codegen bit arithmetic — no gram set shuffled.
+_BLOOM_W = 16384   # words; 63 usable bits each (DuckDB raises on 1<<63)
+_BLOOM_K = 4
+
+
+@register(
+    "q105_bloom_decontamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({shingles_duck('text', _DECON_N)}) AS s
+        FROM documents WHERE {_BENCH_PRED_DUCK}
+    ),
+    bloom AS (
+        SELECT word, bit_or(mask) AS bits FROM (
+            {" UNION ALL ".join(
+                f"SELECT (({perm_hash_duck('s', i)}) % {_BLOOM_W * 63})"
+                f" // 63 AS word,"
+                f" (CAST(1 AS BIGINT) <<"
+                f" ((({perm_hash_duck('s', i)}) % {_BLOOM_W * 63}) % 63))"
+                f" AS mask FROM bench"
+                for i in range(_BLOOM_K))}
+        ) GROUP BY word
+    ),
+    corp AS (
+        SELECT doc_id, source, unnest({shingles_duck('text', _DECON_N)}) AS s
+        FROM documents WHERE NOT ({_BENCH_PRED_DUCK})
+    ),
+    probe AS (
+        SELECT c.source, c.s,
+               CASE WHEN {" AND ".join(
+                   f"COALESCE(b{i}.bits, 0) & (CAST(1 AS BIGINT) <<"
+                   f" ((({perm_hash_duck('c.s', i)}) % {_BLOOM_W * 63})"
+                   f" % 63)) != 0"
+                   for i in range(_BLOOM_K))}
+                    THEN 1 ELSE 0 END AS bloom_hit,
+               CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        FROM corp c
+        {" ".join(
+            f"LEFT JOIN bloom b{i} ON b{i}.word ="
+            f" ((({perm_hash_duck('c.s', i)}) % {_BLOOM_W * 63}) // 63)"
+            for i in range(_BLOOM_K))}
+        LEFT JOIN bench e ON e.s = c.s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(bloom_hit) AS BIGINT) AS bloom_hits,
+           CAST(SUM(exact_hit) AS BIGINT) AS exact_hits,
+           CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS false_pos
+    FROM probe GROUP BY source
+    """,
+    doc="Bloom-filter benchmark decontamination [EXT]: membership of "
+        f"every corpus {_DECON_N}-gram in the benchmark gram set tested "
+        f"against a {_BLOOM_W}-word (63 usable bits/word, ~1M-bit) "
+        f"Bloom filter (k={_BLOOM_K} "
+        "universal hashes from the shared portable md5 family), with the "
+        "exact broadcast-join containment (q64's check) run in the SAME "
+        "plan so the output SELF-REPORTS the false-positive count per "
+        "source — bloom_hits >= exact_hits always, and the gap is the "
+        "measured fp rate at the current fill factor. 100 TB shape: the "
+        "filter builds with one partial-aggregable bit_or over the "
+        "(small) benchmark grams, broadcasts as 128 KB, and probes are "
+        "pure codegen bit arithmetic via 4 broadcast word lookups — the "
+        "corpus gram stream is never shuffled (the exact check "
+        "broadcasts the bench set too; at real scale where the bench "
+        "set outgrows a broadcast, the Bloom filter IS the answer and "
+        "the exact column is dropped). Bits and hashes identical in "
+        "both engines: hash-verified vs the full SQL oracle.",
+)
+def q105_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.hashing import (
+        perm_hash_spark,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    bench_g = (
+        shingle_rows(docs.filter(_BENCH_PRED_SPARK), "doc_id", "text",
+                     _DECON_N)
+        .select("s").distinct()
+    )
+    m_bits = _BLOOM_W * 63
+    # build: k (word, mask) rows per gram, bit_or per word
+    pos = [(f"(({perm_hash_spark('s', i)}) % {m_bits})")
+           for i in range(_BLOOM_K)]
+    stacked = bench_g.selectExpr(
+        f"stack({_BLOOM_K}, "
+        + ", ".join(f"{p} DIV 63, shiftleft(CAST(1 AS BIGINT), {p} % 63)"
+                    for p in pos)
+        + ") AS (word, mask)")
+    bloom = stacked.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+    # per-doc DISTINCT gram stream (shingles_duck is list_distinct, so
+    # the oracle's unnest emits each gram once per doc — match it); the
+    # distinct is the one gram-stream shuffle this query pays
+    corp_g = shingle_rows(
+        docs.filter(f"NOT ({_BENCH_PRED_SPARK})"), "doc_id", "text",
+        _DECON_N, carry=("source",)).distinct()
+    probe = corp_g
+    hit_terms = []
+    for i in range(_BLOOM_K):
+        p = f"(({perm_hash_spark('s', i)}) % {m_bits})"
+        b = bloom.selectExpr(f"word AS w{i}", f"bits AS bits{i}")
+        probe = probe.join(F.broadcast(b),
+                           F.expr(f"{p} DIV 63") == F.col(f"w{i}"), "left")
+        hit_terms.append(
+            f"(COALESCE(bits{i}, CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), {p} % 63)) != 0")
+    exact = bench_g.selectExpr("s", "1 AS e")
+    probe = (
+        probe.join(F.broadcast(exact), "s", "left")
+        .selectExpr(
+            "source",
+            f"CASE WHEN {' AND '.join(hit_terms)} THEN 1 ELSE 0 END"
+            " AS bloom_hit",
+            "CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS exact_hit")
+    )
+    return (
+        probe.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_grams"),
+             F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
+             F.sum("exact_hit").cast("bigint").alias("exact_hits"),
+             (F.sum("bloom_hit") - F.sum("exact_hit")).cast("bigint")
+             .alias("false_pos"))
     )

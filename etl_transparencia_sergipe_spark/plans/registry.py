@@ -162,7 +162,12 @@ _LOADED = False
 # oracle, shipped this round) enters for driver certification,
 # displacing q64 (driver-green hash rows in r04 AND r05, unchanged;
 # the curation family keeps q57/q66 in-window and q64 stays
-# hash-verified in the local gate every round).
+# hash-verified in the local gate every round). q105 (Bloom-filter
+# decontamination with in-plan exact fp self-report, full SQL oracle,
+# shipped this round) also enters, displacing q30 (double-certified
+# r03/r04; it had returned this round only to fill a slot — the slot
+# is better spent certifying the new query; q30 stays hash-verified
+# in the local gate, and exact dedup keeps q76/q84 in-window).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -177,7 +182,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q57_pack_chunks",
     "q104_dsir_importance_sample", "q66_repetition_ratio",
     "q05_top_customers", "q97_incremental_cc",
-    "q20_token_stats", "q30_exact_dedup",
+    "q20_token_stats", "q105_bloom_decontamination",
     "q71_multimodal_features",
     "q51_sliding_window",
     "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
