@@ -96,7 +96,17 @@ def _scd2_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
 
 def scd2_stream(events: DataFrame) -> DataFrame:
     """Closed SCD2 intervals as an append stream (open runs stay in
-    state; batch twin: q88 rows with non-null valid_to)."""
+    state; batch twin: q88 rows with non-null valid_to).
+
+    Ordering contract: events are sorted (ts, event_id) WITHIN each
+    micro-batch, but runs segment in ARRIVAL order across batches — the
+    operator does not reorder event time across batch boundaries (no
+    watermark buffer; a keyed, time-ordered source like a per-user Kafka
+    partition or time-ranged file batches satisfies the contract, and
+    the stream ≡ batch q88 parity test feeds exactly that). Feeding
+    randomly-sharded batches yields a segmentation of the arrival order,
+    which is well-defined but not equal to the event-time segmentation.
+    """
     return (
         events.select("user_id", "event_type", "ts", "event_id")
         .groupBy("user_id")

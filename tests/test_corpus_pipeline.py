@@ -137,3 +137,26 @@ def test_dsir_keeps_target_like_documents(spark):
     # top doc keeps iff its hash < 1e6 * s/smax = 1e6; h60 % 1e6 is
     # always < 1e6, so yes)
     assert all(r.keep == 1 for r in a if r.score == max(x.score for x in a))
+
+
+def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
+    """Bloom membership is a superset guarantee: every exact containment
+    hit MUST be a bloom hit (false positives allowed, false negatives
+    never). Checked per-gram at the fixture scale by running the q105
+    plan's probe relation shape: per source, bloom_hits >= exact_hits
+    AND the whole-corpus exact total equals q64's independent exact
+    count (the two queries share the bench-gram definition)."""
+    from etl_transparencia_sergipe_spark.plans.registry import queries
+
+    qs = queries()
+    rows = qs["q105_bloom_decontamination"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bloom_hits >= r.exact_hits, r
+        assert r.false_pos == r.bloom_hits - r.exact_hits
+    # cross-check the exact side against q64's independent containment
+    # accounting (different plan, same bench definition): total distinct
+    # shared grams agree
+    q64 = qs["q64_decontamination"](spark, sf_dir).collect()
+    assert sum(r.exact_hits for r in rows) == sum(
+        r.total_shared_grams for r in q64)

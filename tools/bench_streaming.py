@@ -61,7 +61,33 @@ def shard_events(spark, sf_dir: str) -> tuple[str, int]:
     ev = load_table(spark, "events", sf_dir)
     n = ev.count()
     shutil.rmtree(out, ignore_errors=True)
-    ev.repartition(N_SHARDS).write.mode("overwrite").parquet(out)
+    # DETERMINISTIC time-ordered shards: micro-batches arrive in
+    # chronological order (the real firehose model) AND two runs see
+    # bit-identical batch composition. Neither plain repartition (random
+    # scatter) nor repartitionByRange (randomly SAMPLED boundaries)
+    # gives that — with either, order-sensitive outputs (scd2's run
+    # segmentation, watermark-finalized window counts) drifted between
+    # otherwise-identical runs (observed 788352 vs 788318 closed
+    # intervals, 7756 vs 5216 finalized windows). Explicit
+    # row_number-over-(ts, event_id) sharding + one file written per
+    # shard in sequence pins both content and arrival order.
+    import glob as _glob
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    ranked = ev.withColumn(
+        "_shard",
+        _F.floor((_F.row_number().over(
+            _W.orderBy("ts", "event_id")) - 1) * N_SHARDS / n))
+    os.makedirs(out)
+    for s in range(N_SHARDS):
+        tmp = f"{out}__tmp{s}"
+        (ranked.filter(_F.col("_shard") == s).drop("_shard")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(out, f"shard-{s:02d}.parquet"))
+        shutil.rmtree(tmp)
     return out, n
 
 
