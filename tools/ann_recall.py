@@ -54,6 +54,11 @@ def curve(spark, sf_dir: str) -> None:
     )
     from etl_transparencia_sergipe_spark.plans._helpers import load
 
+    from etl_transparencia_sergipe_spark.plans.similarity_queries import (
+        _Q103_SPEC,
+    )
+
+    r = _Q103_SPEC["r"]  # shortlist sized to near-tie multiplicity
     emb = (load(spark, "embeddings", sf_dir)
            .select("vec_id", "embedding").cache())
     X = _train_sample(emb, "vec_id", "embedding", 65536)
@@ -67,14 +72,14 @@ def curve(spark, sf_dir: str) -> None:
         return sum(per_q) / len(per_q)
 
     print(f"residual IVFADC pruning-vs-recall @ {sf_dir} "
-          "(n_cells=16 m=8 ksub=16 r=50, trained once)")
+          f"(n_cells=16 m=8 ksub=16 r={r}, trained once)")
     print("nprobe  frac_codes_read  adc_recall@5  refined_recall@5")
     for nprobe in (1, 2, 4, 6, 8, 16):
         adc = recall(ivfpq_residual_topk(
             emb, k=5, n_cells=16, nprobe=nprobe, m=8, ksub=16,
             constants=consts))
         ref = recall(ivfpq_residual_refine_topk(
-            emb, k=5, r=50, n_cells=16, nprobe=nprobe, m=8, ksub=16,
+            emb, k=5, r=r, n_cells=16, nprobe=nprobe, m=8, ksub=16,
             constants=consts))
         print(f"{nprobe:>6}  {nprobe / 16:>15.3f}  {adc:>12.3f}  "
               f"{ref:>16.3f}")
