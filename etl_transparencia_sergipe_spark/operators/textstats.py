@@ -146,29 +146,31 @@ def dsir_keep(docs, target_pred: str, n_buckets: int = 1024,
         F.count("*").alias("r"),
         F.count(F.when(F.expr(target_pred), 1)).alias("t"))
     models = models.transform(persist_scoped)
-    totals = models.agg(F.sum("r").alias("rtot"), F.sum("t").alias("ttot"))
-    ratio = (
-        models.crossJoin(F.broadcast(totals))
-        .selectExpr(
-            "bucket",
-            f"CAST(floor(1000000.0D"
-            f" * CAST((t + 1) * (rtot + {n_buckets}) AS DOUBLE)"
-            f" / CAST((r + 1) * (ttot + {n_buckets}) AS DOUBLE))"
-            f" AS BIGINT) AS ratio_q6")
-    )
+    # totals and (later) the score max are 1-row aggregates over tiny
+    # persisted frames: collect them into plan literals instead of
+    # crossJoin(broadcast(1-row)) — same job count, but the joins were
+    # BroadcastNestedLoopJoins in the static audit and literals keep
+    # the whole expression in one codegen span (values identical, so
+    # hashes are unchanged — re-gated at all four scales)
+    trow = models.agg(F.sum("r").alias("rtot"),
+                      F.sum("t").alias("ttot")).collect()[0]
+    rtot, ttot = int(trow["rtot"]), int(trow["ttot"])
+    ratio = models.selectExpr(
+        "bucket",
+        f"CAST(floor(1000000.0D"
+        f" * CAST((t + 1) * CAST({rtot + n_buckets} AS BIGINT) AS DOUBLE)"
+        f" / CAST((r + 1) * CAST({ttot + n_buckets} AS BIGINT) AS DOUBLE))"
+        f" AS BIGINT) AS ratio_q6")
     scores = (
         toks.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col, *carry)
         .agg(F.sum("ratio_q6").cast("bigint").alias("score"))
         .transform(persist_scoped)
     )
-    smax = scores.agg(F.max("score").alias("m"))
-    return (
-        scores.crossJoin(F.broadcast(smax))
-        .selectExpr(
-            id_col, *carry, "score",
-            f"CASE WHEN ({h60_spark(f'CAST({id_col} AS STRING)')}) % 1000000"
-            " < CAST(floor(1000000.0D * CAST(score AS DOUBLE)"
-            " / CAST(m AS DOUBLE)) AS BIGINT)"
-            " THEN 1 ELSE 0 END AS keep")
-    )
+    smax = int(scores.agg(F.max("score")).collect()[0][0])
+    return scores.selectExpr(
+        id_col, *carry, "score",
+        f"CASE WHEN ({h60_spark(f'CAST({id_col} AS STRING)')}) % 1000000"
+        f" < CAST(floor(1000000.0D * CAST(score AS DOUBLE)"
+        f" / CAST({smax} AS DOUBLE)) AS BIGINT)"
+        " THEN 1 ELSE 0 END AS keep")
