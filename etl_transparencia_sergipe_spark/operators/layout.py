@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def sorted_write(df: DataFrame, path: str, sort_cols: list[str],
                  n_files: int = 8,
-                 rows_per_group: int | None = None) -> None:
+                 rows_per_group: int | None = None,
+                 options: dict | None = None) -> None:
     """Write ``df`` range-clustered on ``sort_cols`` into ``n_files``
     parquet files with tight per-row-group min/max stats."""
     w = (df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
@@ -39,6 +40,8 @@ def sorted_write(df: DataFrame, path: str, sort_cols: list[str],
     if rows_per_group:
         w = w.option("parquet.block.size",
                      str(max(64 * 1024, rows_per_group * 64)))
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     w.parquet(path)
 
 
@@ -77,6 +80,40 @@ def rowgroup_skip_fraction(path: str, col: str, lo, hi) -> dict:
             n_groups += 1
             if st is not None and st.has_min_max and (
                     _naive(st.max) < lo or _naive(st.min) > hi):
+                n_skip += 1
+    return {"n_groups": n_groups, "n_skippable": n_skip,
+            "skip_fraction": (n_skip / n_groups) if n_groups else 0.0}
+
+
+def inset_skip_fraction(path: str, col: str, keys) -> dict:
+    """Fraction of parquet row groups an ``IN (keys)`` predicate can
+    skip, from footer [min, max] statistics alone — the zone-map check
+    the reader's pushed In filter performs per row group. A group is
+    skippable iff NO key falls inside its [min, max]. Globs recursively
+    (partitioned layouts like the signature store's ingest_batch=N
+    children). Returns {n_groups, n_skippable, skip_fraction}."""
+    import bisect
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ks = sorted(set(keys))
+    n_groups = 0
+    n_skip = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                       recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(len(meta.schema.names))}
+        ci = idx[col]
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(ci).statistics
+            n_groups += 1
+            if st is None or not st.has_min_max:
+                continue
+            i = bisect.bisect_left(ks, st.min)
+            if i >= len(ks) or ks[i] > st.max:
                 n_skip += 1
     return {"n_groups": n_groups, "n_skippable": n_skip,
             "skip_fraction": (n_skip / n_groups) if n_groups else 0.0}

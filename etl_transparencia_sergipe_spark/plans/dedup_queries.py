@@ -567,6 +567,7 @@ def q81_sigstore_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from etl_transparencia_sergipe_spark.operators.sigstore import (
+        STORE_FORMAT,
         build_signature_store,
         probe_signature_store,
     )
@@ -576,7 +577,7 @@ def q81_sigstore_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = (sf_dir.strip("/").replace("/", "_")
+    tag = (f"v{STORE_FORMAT}_" + sf_dir.strip("/").replace("/", "_")
            + f"_{st.st_size}_{int(st.st_mtime)}")
     store = os.path.abspath(os.path.join(
         os.path.dirname(__file__), "..", "..", ".scratch",

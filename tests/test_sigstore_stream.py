@@ -14,6 +14,7 @@ import pytest
 from etl_transparencia_sergipe_spark.operators.sigstore import (
     build_signature_store,
     probe_signature_store,
+    signatures_from_banded,
 )
 from etl_transparencia_sergipe_spark.streaming.sigstore_stream import (
     run_ingest_dedup,
@@ -56,10 +57,12 @@ def _run(spark, docs_dir, tmp, tag):
 def test_stream_ingest_builds_full_store(spark, docs_batches, tmp_path):
     docs_dir, n = docs_batches
     store, _ = _run(spark, docs_dir, tmp_path, "full")
-    sig = spark.read.parquet(store)
-    assert sig.count() == n
+    banded = spark.read.parquet(store)
+    # banded layout (store v2): one row per (doc, band), 4 bands
+    assert banded.count() == 4 * n
+    assert signatures_from_banded(banded).count() == n
     # one partition per micro-batch (3 files -> 3 epochs)
-    assert sig.select("ingest_batch").distinct().count() == 3
+    assert banded.select("ingest_batch").distinct().count() == 3
 
 
 def test_stream_flags_are_cross_batch_only(spark, docs_batches, tmp_path):
@@ -128,7 +131,71 @@ def test_uncommitted_store_dir_is_not_probed(spark, docs_batches,
     # ... the batch's signatures were committed, and the store is now
     # ready for the next epoch
     assert hadoop_store_ready(spark, str(store))
-    assert spark.read.parquet(str(store)).count() == batch0.count()
+    assert signatures_from_banded(
+        spark.read.parquet(str(store))).count() == batch0.count()
+
+
+def test_compaction_preserves_probe_and_readiness(spark, docs_batches,
+                                                  tmp_path):
+    """LSM compaction (operators/sigstore.compact_banded_store): folding
+    closed epochs into the clustered ``_compacted`` zone must change
+    neither probe results nor store readiness — and a FULLY compacted
+    store (zero live partitions) stays probe-able and 'ready'."""
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        compact_banded_store,
+        hadoop_store_ready,
+        read_banded_store,
+    )
+
+    docs_dir, n = docs_batches
+    store, _ = _run(spark, docs_dir, tmp_path, "compact")
+    probe_docs = spark.read.parquet(docs_dir).limit(7)
+    before = sorted(map(tuple, probe_signature_store(
+        spark, store, probe_docs, "doc_id", "text").collect()))
+
+    # partial compaction: epochs 0-1 fold, epoch 2 stays live
+    compact_banded_store(spark, store, upto_epoch=2, n_files=2,
+                         rows_per_group=64)
+    assert hadoop_store_ready(spark, store)
+    assert read_banded_store(spark, store).count() == 4 * n
+    mid = sorted(map(tuple, probe_signature_store(
+        spark, store, probe_docs, "doc_id", "text").collect()))
+    assert mid == before
+
+    # full compaction: no live partitions remain
+    compact_banded_store(spark, store, upto_epoch=10, n_files=8,
+                         rows_per_group=64)
+    import os as _os
+    live_parts = [d for d in _os.listdir(store)
+                  if d.startswith("ingest_batch=")]
+    assert live_parts == []
+    assert hadoop_store_ready(spark, store)
+    after = sorted(map(tuple, probe_signature_store(
+        spark, store, probe_docs, "doc_id", "text").collect()))
+    assert after == before
+    # ingest_batch survives as a data column (replay filter still works)
+    assert "ingest_batch" in read_banded_store(spark, store).columns
+    # the clustered zone's zone maps actually prune: a small probe's In
+    # keys miss most row groups (the whole point of compacting)
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from etl_transparencia_sergipe_spark.operators.layout import (
+        inset_skip_fraction,
+    )
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        _compacted_path,
+        banded_signatures,
+    )
+    # one-doc probe: 4 band keys against >=8 clustered groups — most
+    # groups' [min, max] cannot contain any of them (at real store:batch
+    # ratios the bench sweep measures the production number)
+    keys = [r[0] for r in banded_signatures(minhash_signatures(
+        probe_docs.limit(1), "doc_id", "text"))
+        .select("band_hash").collect()]
+    stats = inset_skip_fraction(_compacted_path(store), "band_hash", keys)
+    assert stats["n_groups"] >= 8
+    assert stats["skip_fraction"] >= 0.3
 
 
 def test_epoch_replay_is_idempotent(spark, docs_batches, tmp_path):

@@ -131,6 +131,13 @@ _PROVIDERS = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) > 1 and sys.argv[1] == "growth":
+        # store-growth sweep only: python tools/bench_streaming.py growth [N]
+        n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        spark = get_spark("bench-sig-growth")
+        res = bench_sigstore_growth(spark, sf_dir, n_batches)
+        print(json.dumps({"sf_dir": sf_dir, "sigstore_growth": res}))
+        return
     provider = sys.argv[1] if len(sys.argv) > 1 else "hdfs"
     spark = get_spark("bench-streaming", extra_conf={
         "spark.sql.streaming.stateStore.providerClass":
@@ -171,6 +178,96 @@ def main() -> None:
         "n_microbatches": N_SHARDS,
         "state_store": provider, "scenarios": out,
     }))
+
+
+def bench_sigstore_growth(spark, sf_dir: str, n_batches: int = 64) -> dict:
+    """Store-growth sweep (round-6 VERDICT item 1 'done' criterion):
+    drive the foreachBatch sink body epoch by epoch over ``n_batches``
+    document batches and record each epoch's wall — probe + banded
+    append — as the store grows from empty to ``n_batches - 1`` stored
+    partitions. Flat per-batch wall (last-8 mean within ±20% of the
+    batches 1-8 mean) = the probe is O(batch), not O(store). Also
+    reports the zone-map skip fraction the LAST batch's pushed In
+    filter gets against the full-grown store (footer-stats measurement,
+    operators/layout.inset_skip_fraction)."""
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from etl_transparencia_sergipe_spark.operators.layout import (
+        inset_skip_fraction,
+    )
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        banded_signatures,
+    )
+    from etl_transparencia_sergipe_spark.streaming.sigstore_stream import (
+        sigstore_ingest_sink,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch", f"sig_growth_{tag}"))
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    batch_dir = os.path.join(base, "batches")
+    # deterministic near-equal batches (doc_ids are dense ints)
+    (docs.withColumn("_b", F.pmod("doc_id", F.lit(n_batches)))
+     .write.partitionBy("_b").mode("overwrite").parquet(batch_dir))
+
+    store = os.path.join(base, "store")
+    flags = os.path.join(base, "flags")
+    sink = sigstore_ingest_sink(store, flags)
+    walls = []
+    compact_sec = None
+    for e in range(n_batches):
+        if e == n_batches // 2:
+            # LSM maintenance: fold the first half's live partitions
+            # into the clustered zone (runs between batches — its cost
+            # is amortized, reported separately, NOT hidden in walls)
+            from etl_transparencia_sergipe_spark.operators.sigstore import (
+                compact_banded_store,
+            )
+            t0 = time.time()
+            compact_banded_store(spark, store, upto_epoch=e,
+                                 rows_per_group=8192)
+            compact_sec = round(time.time() - t0, 3)
+        batch = spark.read.parquet(os.path.join(batch_dir, f"_b={e}"))
+        t0 = time.time()
+        sink(batch, e)
+        walls.append(round(time.time() - t0, 3))
+    first8 = sum(walls[1:9]) / 8  # epoch 0 probes nothing; skip it
+    last8 = sum(walls[-8:]) / 8
+    last_batch = spark.read.parquet(
+        os.path.join(batch_dir, f"_b={n_batches - 1}"))
+    last_keys = [r[0] for r in banded_signatures(minhash_signatures(
+        last_batch, "doc_id", "text")).select("band_hash").collect()]
+    skip = inset_skip_fraction(store, "band_hash", last_keys)
+    # point-probe shape: one doc's 4 band keys — zone-map pruning is a
+    # function of keys/groups, so the full-batch number above goes to 0
+    # whenever batch keys outnumber row groups (true at bench scale,
+    # false at production store:batch ratios where groups >> keys)
+    one_keys = [r[0] for r in banded_signatures(minhash_signatures(
+        last_batch.limit(1), "doc_id", "text"))
+        .select("band_hash").collect()]
+    skip1 = inset_skip_fraction(store, "band_hash", one_keys)
+    res = {
+        "n_batches": n_batches,
+        "docs_per_batch": round(n_docs / n_batches),
+        "wall_batches_1_8_mean_sec": round(first8, 3),
+        "wall_last8_mean_sec": round(last8, 3),
+        "growth_ratio": round(last8 / first8, 3),
+        "flat_within_20pct": last8 <= 1.2 * first8,
+        "compact_at_epoch": n_batches // 2,
+        "compact_sec": compact_sec,
+        "store_rowgroup_skip_last_batch": round(skip["skip_fraction"], 3),
+        "store_rowgroup_skip_one_doc": round(skip1["skip_fraction"], 3),
+        "store_rowgroups": skip["n_groups"],
+        "per_epoch_sec": walls,
+    }
+    print(f"# sigstore_growth: batches1-8 {first8:.2f}s/batch, "
+          f"last8 {last8:.2f}s/batch, ratio {last8 / first8:.2f}, "
+          f"skip {skip['skip_fraction']:.2f}", file=sys.stderr)
+    return res
 
 
 def bench_sigstore(spark, sf_dir: str, out: dict) -> int:
