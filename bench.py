@@ -118,20 +118,33 @@ def main() -> None:
 
     spark.catalog.clearCache()  # drop frames persisted by warmup plans
 
+    # Round-7 protocol (r6 VERDICT item 2): each query runs TWICE — a
+    # cold single-shot (first execution of this plan at this SF: pays
+    # per-query Janino codegen compile, the historical column and the
+    # drift-gate input, kept for continuity) and a warm repeat (fresh
+    # DataFrame build — re-executing the same DF object would reuse
+    # materialized shuffle stages — measuring steady-state execution).
+    # The >2x class list is computed from the WARM column: that is the
+    # number a long-lived session / repeated production query sees, and
+    # it replaces the per-round prose exemptions for the cold-codegen
+    # quartet (q35/q84/q03/q46).
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        try:
-            df.toArrow()
-        except Exception:
-            df.collect()  # Arrow-unsupported result type
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # dedup/similarity plans persist their signature frames for reuse
-        # within one query; across 27 back-to-back queries those caches
-        # accumulate into executor-memory pressure that showed up as 3x
-        # run-to-run swings (q31 2.0s vs 6.2s) — clear OUTSIDE the timer
-        spark.catalog.clearCache()
+        for col in (timings, warm):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            try:
+                df.toArrow()
+            except Exception:
+                df.collect()  # Arrow-unsupported result type
+            col[name] = round(time.perf_counter() - t0, 3)
+            # dedup/similarity plans persist their signature frames for
+            # reuse within one query; across back-to-back queries those
+            # caches accumulate into executor-memory pressure that showed
+            # up as 3x run-to-run swings (q31 2.0s vs 6.2s) — clear
+            # OUTSIDE the timer
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -139,6 +152,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
         "sf": float(sf),
     }))
 

@@ -87,10 +87,22 @@ def signatures_from_banded(store: DataFrame, k: int = 16) -> DataFrame:
 
 
 def write_banded_store(banded: DataFrame, path: str, mode: str = "overwrite",
-                       partition_by: list[str] | None = None) -> None:
+                       partition_by: list[str] | None = None,
+                       n_files: int | None = None) -> None:
     """Write banded rows sorted by band_hash within each file (tight
     per-row-group zone maps) with a parquet bloom filter on band_hash —
-    the two layout properties the probe's pushed In filter prunes on."""
+    the two layout properties the probe's pushed In filter prunes on.
+
+    ``n_files``: coalesce before writing. Micro-batch appends MUST pass
+    a small value (the streaming sink uses 1): without it the write
+    inherits the upstream shuffle's partition count and each epoch
+    lands ~32 hundred-row files — measured in the round-7 growth sweep
+    as the dominant wall creep (file listing grows with store age) and
+    as zone-map dilution (every tiny file is one full-range row group).
+    One sorted file per micro-batch keeps listing O(epochs) and leaves
+    pruning quality to compaction, where it belongs."""
+    if n_files:
+        banded = banded.coalesce(n_files)
     w = (banded.sortWithinPartitions("band_hash")
          .write.mode(mode)
          .option("parquet.bloom.filter.enabled#band_hash", "true"))
@@ -265,7 +277,8 @@ def probe_signature_store(spark: SparkSession, store_path: str,
                           k: int = 16, bands: int = 4,
                           n: int = 3,
                           ingest_batch_lt: int | None = None,
-                          pushdown_max_keys: int = 50_000) -> DataFrame:
+                          pushdown_max_keys: int = 1024,
+                          new_sig: DataFrame | None = None) -> DataFrame:
     """LSH-probe a NEW batch against a persisted banded signature store.
 
     Returns DataFrame[old_id, new_id, n_agree] where n_agree is the
@@ -294,20 +307,33 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     """
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
-    new_sig = (minhash_signatures(new_docs, id_col, text_col, k=k, n=n)
-               .transform(persist_scoped))
+    if new_sig is None:
+        # callers holding the batch's signatures already (the streaming
+        # sink computes them for the append anyway) pass them in — the
+        # batch text is then shingled exactly ONCE per epoch
+        new_sig = (minhash_signatures(new_docs, id_col, text_col, k=k, n=n)
+                   .transform(persist_scoped))
     batch_bands = banded_signatures(new_sig, k, bands)
 
     old = read_banded_store(spark, store_path)
     if ingest_batch_lt is not None:
         old = old.filter(F.col("ingest_batch") < ingest_batch_lt)
 
-    # contract-small collect: one band key per (batch doc, band) — the
-    # micro-batch's working set, never the store's. Skipped for huge
-    # batches, where the broadcast join alone is the right plan.
-    keys = sorted({r[0] for r in batch_bands.select("band_hash").collect()})
-    if len(keys) <= pushdown_max_keys:
-        old = old.filter(F.col("band_hash").isin(keys))
+    # Static In pushdown is a POINT-PROBE optimization: embedding the
+    # batch's band keys as an INSET lets parquet prune row groups on the
+    # compacted zone's band_hash zone maps + bloom filters, but the plan
+    # overhead grows with the literal list (measured at sf1: a 25k-key
+    # INSET adds ~4 s/probe while the broadcast join alone runs 1.7 s),
+    # so it is gated to small key sets. Bulk batches rely on the
+    # broadcast hash join (store side streams map-side, no shuffle) —
+    # and on Spark's runtime bloom-filter injection for row-level
+    # pre-join pruning at cluster scale, where a static list that size
+    # is impractical anyway.
+    if pushdown_max_keys > 0:
+        keys = sorted({r[0] for r in
+                       batch_bands.select("band_hash").collect()})
+        if len(keys) <= pushdown_max_keys:
+            old = old.filter(F.col("band_hash").isin(keys))
 
     x = old.select(F.col("doc_id").alias("old_id"), "band_id", "band_hash",
                    *[f"mh{i}" for i in range(k)])

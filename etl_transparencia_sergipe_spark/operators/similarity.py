@@ -1295,6 +1295,68 @@ def ivfpq_residual_train(X, n_cells: int = 16, m: int = 8,
     return cmat, books
 
 
+def residual_assign_codes(M, cmat, books):
+    """Shared IVFADC encode math: L2 cell distances (n, n_cells), argmin
+    cell per vector, and the m per-subspace residual PQ codes.
+
+    Factored out of :func:`ivfpq_residual_topk` (round 7) so the
+    incremental index (operators/ann_index.py) appends new batches with
+    BIT-IDENTICAL encoding — per-dim sequential accumulation, ties to
+    the lowest cell/code, the order the DuckDB fold replays.
+    Returns (dist, amin, codes) with codes a list of m int32 arrays."""
+    import numpy as np
+
+    n_cells, dim = cmat.shape
+    m, ksub, dsub = books.shape
+    dist = np.zeros((len(M), n_cells))
+    for d in range(dim):
+        diff = M[:, d:d + 1] - cmat[None, :, d]
+        dist = dist + diff * diff
+    amin = dist.argmin(axis=1)
+    R = M - cmat[amin]
+    codes = []
+    for mm in range(m):
+        d2 = np.zeros((len(M), ksub))
+        for d in range(dsub):
+            diff = R[:, mm * dsub + d:mm * dsub + d + 1] \
+                - books[mm][None, :, d]
+            d2 = d2 + diff * diff
+        codes.append(d2.argmin(axis=1).astype("int32"))
+    return dist, amin, codes
+
+
+def residual_query_luts(qrows, cmat, books, nprobe: int):
+    """Per-(query, probed cell) residual ADC lookup tables, built
+    driver-side from the contract-small query set: returns
+    [(query_id, cell, flat_lut[m * ksub])] rows ready for a broadcast
+    DataFrame. Same sequential math as the encode side (shared with
+    the DuckDB twin)."""
+    import numpy as np
+
+    n_cells, dim = cmat.shape
+    m, ksub, dsub = books.shape
+    cells_np = np.arange(n_cells, dtype=np.int64)
+    lut_rows = []
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        qdist = np.zeros(n_cells)
+        for d in range(dim):
+            diff = q[d] - cmat[:, d]
+            qdist = qdist + diff * diff
+        order = np.lexsort((cells_np, qdist))[:nprobe]
+        for cell in order:
+            rq = q - cmat[cell]
+            flat = []
+            for mm in range(m):
+                lut = np.zeros(ksub)
+                for d in range(dsub):
+                    diff = rq[mm * dsub + d] - books[mm][:, d]
+                    lut = lut + diff * diff
+                flat.extend(float(x) for x in lut)
+            lut_rows.append((int(qid), int(cell), flat))
+    return lut_rows
+
+
 def ivfpq_residual_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                         nprobe: int = 4, m: int = 8, ksub: int = 16,
                         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1331,8 +1393,6 @@ def ivfpq_residual_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                                            ksub=ksub, seed=seed)
     else:
         cmat, books = constants
-    dim = cmat.shape[1]
-    dsub = dim // m
     cells_np = np.arange(n_cells, dtype=np.int64)
 
     schema = ("neighbor_id bigint, is_query boolean, cell bigint, "
@@ -1347,13 +1407,11 @@ def ivfpq_residual_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                 continue
             M = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["cv"]])
-            # L2 cell assignment, per-dim sequential (matches the
-            # DuckDB L2 fold bit-for-bit; ties -> lowest cell)
-            dist = np.zeros((len(pdf), n_cells))
-            for d in range(dim):
-                diff = M[:, d:d + 1] - cmat[None, :, d]
-                dist = dist + diff * diff
-            amin = dist.argmin(axis=1)
+            # shared IVFADC encode math (residual_assign_codes):
+            # L2 cell assignment + residual PQ codes, per-dim
+            # sequential — matches the DuckDB fold bit-for-bit and the
+            # incremental index's append encoder
+            dist, amin, codes = residual_assign_codes(M, cmat, books)
             probes = [None] * len(pdf)
             for i, isq in enumerate(pdf["is_query"]):
                 if isq:
@@ -1365,18 +1423,8 @@ def ivfpq_residual_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
                 "cell": cells_np[amin],
                 "probes": probes,
             }
-            # residual PQ encode: (v - c) exact elementwise, then the
-            # per-subspace distance accumulates (v - c) - b per dim —
-            # the same two-subtraction sequence the twin's
-            # (cv[i] - cvec[i] - cb.cvec[d]) runs
-            R = M - cmat[amin]
             for mm in range(m):
-                d2 = np.zeros((len(pdf), ksub))
-                for d in range(dsub):
-                    diff = R[:, mm * dsub + d:mm * dsub + d + 1] \
-                        - books[mm][None, :, d]
-                    d2 = d2 + diff * diff
-                cols[f"c{mm}"] = d2.argmin(axis=1).astype("int32")
+                cols[f"c{mm}"] = codes[mm]
             yield pd.DataFrame(cols)
 
     assigned = (
@@ -1391,26 +1439,9 @@ def ivfpq_residual_topk(corpus: DataFrame, k: int = 5, n_cells: int = 16,
     qrows = [(r["_id"], r["_v"]) for r in
              corpus.selectExpr(f"{id_col} AS _id", f"{vec_col} AS _v")
              .filter(query_pred).collect()]
-    lut_rows = []
-    for qid, qv in qrows:
-        q = np.asarray(qv, dtype=np.float64)
-        qdist = np.zeros(n_cells)
-        for d in range(dim):
-            diff = q[d] - cmat[:, d]
-            qdist = qdist + diff * diff
-        order = np.lexsort((cells_np, qdist))[:nprobe]
-        for cell in order:
-            rq = q - cmat[cell]
-            flat = []
-            for mm in range(m):
-                lut = np.zeros(ksub)
-                for d in range(dsub):
-                    diff = rq[mm * dsub + d] - books[mm][:, d]
-                    lut = lut + diff * diff
-                flat.extend(float(x) for x in lut)
-            lut_rows.append((int(qid), int(cell), flat))
     luts = spark.createDataFrame(
-        lut_rows, "query_id bigint, cell bigint, l array<double>")
+        residual_query_luts(qrows, cmat, books, nprobe),
+        "query_id bigint, cell bigint, l array<double>")
 
     adc_expr = " + ".join(
         f"element_at(l, {mm * ksub} + c{mm} + 1)" for mm in range(m))

@@ -359,3 +359,47 @@ def q95_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_purchases"),
                  dsum("value").alias("total_value"))
             .orderBy("k_at_purchase"))
+
+
+def q95_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-exchange alternative to q95 (round-6 VERDICT item 5
+    prototype): instead of materializing the change-log dim and as-of
+    joining the purchases back (two events scans, window shuffles on
+    (user_id) AND (user_id, ts), then the as-of union's own key
+    shuffle), compute the version-at-event inline — ONE events scan,
+    ONE exchange on user_id shared by both window passes:
+
+      pass 1 (sort user_id, ts, event_id): chg = k differs from lag(k)
+      pass 2 (same partitioning, prefix sort user_id, ts — no re-sort):
+        k_at = max(struct(ts, event_id, k)) over RANGE unbounded..current
+        of change rows only — the lexicographic struct max picks the
+        change with the greatest (ts, event_id) among rows with
+        ts <= current ts, which is exactly the as-of backward match
+        INCLUDING the same-ts-later-event_id tie rule the dim dedupe
+        (rn = 1 by event_id DESC) encodes.
+
+    Result-identical to the registered q95 (same oracle); kept/chosen
+    by measurement (BASELINE.md round-7 as-of comparison).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "chg", F.when(F.lag("k").over(wl).isNull()
+                      | (F.lag("k").over(wl) != F.col("k")), 1)
+        .otherwise(0))
+    wr = (W.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(W.unboundedPreceding, W.currentRow))
+    at = marked.withColumn(
+        "k_at_purchase",
+        F.max(F.when(F.col("chg") == 1,
+                     F.struct("ts", "event_id", "k"))).over(wr)
+        .getField("k"))
+    return (at.filter("event_type = 'purchase'")
+            .groupBy("k_at_purchase")
+            .agg(F.count("*").cast("bigint").alias("n_purchases"),
+                 dsum("value").alias("total_value"))
+            .orderBy("k_at_purchase"))

@@ -80,8 +80,13 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from etl_transparencia_sergipe_spark.caching import persist_scoped
+
         spark = batch_df.sparkSession
-        sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n)
+        # ONE text scan per epoch: the persisted signature frame feeds
+        # both the probe (passed through new_sig) and the banded append
+        sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n) \
+            .transform(persist_scoped)
         banded = banded_signatures(sig, k=k, bands=bands)
 
         # Replay-safe probe: (a) readiness check goes through the Hadoop
@@ -99,10 +104,16 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         # deterministic given the (immutable) < epoch store state, so
         # overwrite converges to the same content on every replay.
         if hadoop_store_ready(spark, store_path):
+            # pushdown_max_keys=0: an ingest micro-batch is a BULK probe
+            # (thousands of band keys) — the static In pushdown is the
+            # point-probe tool and its keys-collect adds a serial job
+            # per batch (measured ~1 s at sf1); bulk probes are served
+            # by the broadcast join alone
             flags = (
                 probe_signature_store(spark, store_path, batch_df,
                                       id_col, text_col, k=k, bands=bands,
-                                      n=n, ingest_batch_lt=int(epoch_id))
+                                      n=n, ingest_batch_lt=int(epoch_id),
+                                      pushdown_max_keys=0, new_sig=sig)
                 .filter(F.col("n_agree") >= min_agree)
                 .withColumn("batch_id", F.lit(int(epoch_id)))
             )
@@ -120,7 +131,10 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         # then never re-hashes the store (round-6 VERDICT item 1)
         write_banded_store(
             banded.withColumn("ingest_batch", F.lit(int(epoch_id))),
-            store_path, partition_by=["ingest_batch"])
+            store_path, partition_by=["ingest_batch"], n_files=1)
+        # epoch-scoped cache: drop before the next micro-batch so state
+        # between batches lives in parquet only (module contract)
+        sig.unpersist()
 
     return write_batch
 

@@ -59,6 +59,46 @@ def session_stats(events: DataFrame, gap: str = "5 minutes",
     )
 
 
+def session_stats_islands(events: DataFrame,
+                          gap: str = "5 minutes") -> DataFrame:
+    """Batch twin of :func:`session_stats` via the gaps-and-islands
+    rewrite: lag-gap flag -> running sum -> one hash aggregation.
+
+    Why it exists (round-6 VERDICT item 4 — q52 was 3.8x at sf1): the
+    native ``session_window`` aggregation plans
+    Exchange -> Sort -> UpdatingSessions -> two MergingSessions passes —
+    machinery built for MERGING sessions across micro-batches, which a
+    batch query pays for nothing. The islands plan shuffles ONCE on
+    user_id; the window's sort is shared, and the trailing
+    groupBy(user_id, sess_id) needs no second exchange because
+    hash-partitioning on user_id already clusters (user_id, sess_id).
+    Exact same result set (session = maximal run with inter-event gap
+    < ``gap``; end = last ts + gap). Streaming paths keep
+    ``session_stats`` — window functions aren't streamable.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_i = F.expr(f"INTERVAL {gap}")
+    marked = events.withColumn(
+        "_new",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.col("ts") >= F.lag("ts").over(w) + gap_i), 1)
+        .otherwise(0))
+    sess = marked.withColumn(
+        "_sess", F.sum("_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (
+        sess.groupBy("user_id", "_sess")
+        .agg(F.min("ts").alias("sess_start"),
+             (F.max("ts") + gap_i).alias("sess_end"),
+             F.count("*").alias("n_events"),
+             dsum("value").alias("total_value"))
+        .select("user_id", "sess_start", "sess_end",
+                "n_events", "total_value")
+    )
+
+
 def click_purchase_join(events, horizon: str = "30 minutes",
                         watermark: str | None = None):
     """Stream-stream interval join (§2.10): attribute each purchase to the
