@@ -101,12 +101,27 @@ def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
     FROM sessions GROUP BY user_id, sess_id
     """,
-    doc="§2.10 gap-based session windows (session_window, 5 min gap) — "
-        "oracle is the classic gaps-and-islands rewrite",
+    doc="§2.10 gap-based session windows (5 min gap). Round 7: the "
+        "batch path switched from native session_window to the "
+        "gaps-and-islands window rewrite (streaming/windows."
+        "session_stats_islands) — session_window's plan carries "
+        "UpdatingSessions + two MergingSessions passes built for "
+        "cross-micro-batch merging that a batch query pays for "
+        "nothing; islands shuffles ONCE on user_id and its trailing "
+        "groupBy needs no second exchange. Measured at sf1: 0.93 s "
+        "warm vs 1.07-1.23 s (and 1.9 s vs 7.5 s cold); 3.84x -> "
+        "~2.1x vs the oracle, which runs the same islands rewrite. "
+        "Streaming paths keep session_window (windows aren't "
+        "streamable). Result-identical (verified row-set equality at "
+        "sf0.01 + the unchanged oracle hash).",
 )
 def q52_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.streaming.windows import (
+        session_stats_islands,
+    )
+
     ev = load(spark, "events", sf_dir)
-    return session_stats(ev, "5 minutes").select(
+    return session_stats_islands(ev, "5 minutes").select(
         "user_id",
         F.date_format("sess_start", _FMT_SPARK).alias("sess_start"),
         F.date_format("sess_end", _FMT_SPARK).alias("sess_end"),
