@@ -168,6 +168,23 @@ _LOADED = False
 # r03/r04; it had returned this round only to fill a slot — the slot
 # is better spent certifying the new query; q30 stays hash-verified
 # in the local gate, and exact dedup keeps q76/q84 in-window).
+#
+# Round-7 rotation (r6 VERDICT item 6): q103 leaves — it earned its
+# driver rows-only row in r06 and stays hash-verified against its
+# literal-constant twin in the local gate every round (the
+# q63/q98/q99/q101 precedent: a second rows-only driver row adds
+# nothing). In its slot: q106 (incremental-index-served residual
+# IVFADC, shipped this round — the round-7 new trained query, and the
+# query whose driver row certifies the assign-only append path of
+# operators/ann_index.py; trained constants, no pure-SQL form). The r6
+# VERDICT suggested a hash-backed stalwart for the slot, but the
+# standing precedent (late round 6, q105-for-q30) is that a window slot
+# is better spent certifying the round's new work than re-certifying a
+# double-certified stalwart; rows-only population stays at the mandated
+# <=2: q92 + q106. Also re-certified in place this round (already
+# in-window, implementations changed): q52 (session_window ->
+# gaps-and-islands batch path), q95 (fused single-exchange as-of),
+# q81 (sigstore store v2: banded layout + O(batch) broadcast probe).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -176,7 +193,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q40_knn_bruteforce",
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
     "q45_lsh_multiprobe", "q46_ivf_ann_topk",
-    "q103_ivfpq_residual_refine_topk",
+    "q106_incremental_ann_index",
     "q91_media_ahash_neardup", "q92_rolling_active_hll",
     "q50_tumbling_window", "q100_bm25_topk", "q52_session_windows",
     "q57_pack_chunks",

@@ -777,3 +777,131 @@ def q103_ivfpq_residual_refine_topk(spark: SparkSession,
                 .alias("l2_q6"),
                 F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q106: the q103 search SERVED FROM the incremental on-disk index
+# (operators/ann_index.py, round-7 VERDICT item 8). The index is built
+# ONCE on a base split (7/8 of the corpus by ``vec_id % 8``), the last
+# eighth is ASSIGN-ONLY appended against the stored quantizer (no
+# retrain, no re-encode of existing rows — the q79/q81 incremental
+# posture applied to IVF), and every search after that reads stored
+# codes with hive cell-partition pruning. The quantizer is therefore
+# trained WITHOUT ever seeing the appended batch — exactly the
+# grown-corpus serving scenario — and the drift self-report of that
+# append is persisted in the index's _meta.json.
+_Q106_SPEC = dict(k=5, r=100, n_cells=16, nprobe=6, m=8, ksub=16,
+                  split_mod=8)
+
+
+def _served_incremental_index(spark: SparkSession, sf_dir: str):
+    """Build-once/serve-many incremental index for q106, keyed like the
+    quantizer store: (source fingerprint, spec). A hit skips build AND
+    append — the query then only pays the pruned-code search. _meta.json
+    is written last (atomic rename), so a crashed build never serves."""
+    import hashlib
+    import json
+    import os
+
+    from etl_transparencia_sergipe_spark.operators import quantizer_store
+    from etl_transparencia_sergipe_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    s = _Q106_SPEC
+    src = f"{sf_dir}/embeddings.parquet"
+    key = hashlib.sha256(json.dumps(
+        [quantizer_store.STORE_VERSION, "ann_index_v1",
+         quantizer_store._fingerprint(src),
+         {k: s[k] for k in ("n_cells", "m", "ksub", "split_mod")}],
+        sort_keys=True, default=str).encode()).hexdigest()[:24]
+    root = quantizer_store._store_dir().parent / "ann_index"
+    path = root / key
+    meta = path / "_meta.json"
+    if meta.exists():
+        return str(path), json.loads(meta.read_text())
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % s["split_mod"] < s["split_mod"] - 1)
+    batch = emb.filter(F.col("vec_id") % s["split_mod"] == s["split_mod"] - 1)
+    root.mkdir(parents=True, exist_ok=True)
+    build_ivfpq_index(base, str(path), n_cells=s["n_cells"], m=s["m"],
+                      ksub=s["ksub"], seed=42)
+    report = append_ivfpq_index(batch, str(path))
+    tmp = path / "_meta.json.tmp"
+    tmp.write_text(json.dumps(report))
+    os.replace(tmp, meta)
+    return str(path), report
+
+
+def _q106_oracle(con):
+    """DuckDB twin: retrain the quantizer from the BASE split's
+    deterministic sample (the appended eighth never reaches training —
+    mirroring the index build), then run the full refine search over
+    the WHOLE corpus in SQL. Matching hashes prove the assign-only
+    append + stored-code search path end-to-end: grown index ==
+    full-corpus encode == literal-constant SQL."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        SAMPLE_HASH,
+        ivfpq_residual_refine_duck,
+        ivfpq_residual_train,
+    )
+
+    s = _Q106_SPEC
+    h = SAMPLE_HASH.format(id="vec_id")
+    rows = con.execute(
+        f"SELECT embedding FROM embeddings "
+        f"WHERE vec_id % {s['split_mod']} < {s['split_mod'] - 1} "
+        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    cmat, books = ivfpq_residual_train(
+        X, n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"], seed=42)
+    return con.execute(
+        ivfpq_residual_refine_duck(
+            "embeddings", cmat, books, k=s["k"], r=s["r"],
+            n_cells=s["n_cells"], nprobe=s["nprobe"])).fetchdf()
+
+
+@register(
+    "q106_incremental_ann_index",
+    oracle=None,  # trained quantizer: the q63/q98/q103 driver contract
+    oracle_py=_q106_oracle,
+    doc="J6 incremental ANN serving (round-7): residual IVFADC + exact "
+        "refine answered from the PERSISTED index — quantizer trained "
+        "once on the base 7/8 split, the last eighth assign-only "
+        "appended (operators/ann_index.py; drift self-report persisted "
+        "in _meta.json), search scans ONLY the nprobe/n_cells hive "
+        "cell partitions of stored 8-int codes and re-reads raw "
+        "vectors for the r x |Q| shortlist. 100 TB shape: index "
+        "maintenance is O(batch) per append exactly like q79/q81 "
+        "dedup, and a serve-time query never touches raw vectors "
+        "outside the shortlist. Hash-verified against a "
+        "literal-constant DuckDB twin whose quantizer retrains from "
+        "the base split only — the append path must be bit-identical "
+        "to a full re-encode for the hashes to match "
+        "(tests/test_ann_index.py pins the same equality).",
+)
+def q106_incremental_ann_index(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.ann_index import (
+        search_ivfpq_index,
+    )
+    from etl_transparencia_sergipe_spark.operators.similarity import l2_topk
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    s = _Q106_SPEC
+    path, _report = _served_incremental_index(spark, sf_dir)
+    ann = search_ivfpq_index(emb, path, k=s["k"], nprobe=s["nprobe"],
+                             r=s["r"])
+    exact = l2_topk(emb, k=s["k"]).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit0"))
+    return (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .select("query_id", "neighbor_id", "rank",
+                F.expr("CAST(floor(l2sq * 1000000) AS BIGINT)")
+                .alias("l2_q6"),
+                F.coalesce("hit0", F.lit(0)).cast("int").alias("hit"))
+    )
