@@ -6,13 +6,23 @@ order-insensitive value hash (column-name-sorted, row-sorted string render
 with float rounding). Exits nonzero on any mismatch.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+SPARK_GRAFT_ORACLE_TIMEOUT=<sec>: cap each DuckDB oracle's wall via
+``con.interrupt()`` from a watchdog timer. A timed-out oracle records a
+rows-only line (``ROWS ... oracle timeout``) instead of a failure — the
+round-7 sf10 full-surface contract: oracle walls at sf10 reach tens of
+minutes for the recursive/self-join twins (the ORACLE's cost, not the
+engine's); such queries fall back to rows-only with their sf1 hash
+cited in CORRECTNESS_LOCAL.md. Unset or 0 = no cap (driver parity).
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -92,7 +102,10 @@ def main() -> int:
                   f"[{t_spark:.1f}s]")
             continue
         t1 = time.time()
-        try:
+        timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0")
+                        or 0)
+
+        def run_oracle():
             # per-query python oracle override (registry.QueryDef
             # .oracle_py): same semantics as the SQL oracle, tractable
             # complexity at sf>=1 (q38/q39's iterative CC oracle) or no
@@ -100,12 +113,48 @@ def main() -> int:
             # count); where a SQL form exists the driver still runs it
             # at sf0.01
             if has_py_oracle:
-                odf = qd.oracle_py(con)
-            else:
-                odf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:  # noqa: BLE001
+                return qd.oracle_py(con)
+            return con.execute(oracles[name]).fetchdf()
+
+        odf = None
+        oracle_err = None
+        oracle_timed_out = False
+        # two attempts: a watchdog that fires AFTER its oracle completed
+        # leaves duckdb's interrupt flag set, which spuriously interrupts
+        # the NEXT statement — retry distinguishes that from a real
+        # timeout (its own watchdog set the event) or a real error
+        for _attempt in range(2):
+            timed_out = threading.Event()
+
+            def _interrupt(ev=timed_out):
+                ev.set()
+                con.interrupt()
+
+            watchdog = (threading.Timer(timeout, _interrupt)
+                        if timeout > 0 else None)
+            if watchdog is not None:
+                watchdog.start()
+            try:
+                odf = run_oracle()
+                oracle_err = None
+                break
+            except Exception as e:  # noqa: BLE001
+                if timed_out.is_set():
+                    oracle_timed_out = True
+                    break
+                oracle_err = e
+                if "INTERRUPT" not in str(e).upper():
+                    break  # real error — don't retry
+            finally:
+                if watchdog is not None:
+                    watchdog.cancel()
+        if oracle_timed_out:
+            print(f"ROWS  {name}: {len(sdf)} rows (oracle timeout "
+                  f">{timeout:.0f}s) [spark {t_spark:.1f}s]")
+            continue
+        if oracle_err is not None:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb error: {oracle_err}")
             continue
         t_duck = time.time() - t1
         sn, sc, sh = canonical(sdf)
