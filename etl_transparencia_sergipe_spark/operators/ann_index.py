@@ -101,9 +101,16 @@ def build_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 16,
                       m: int = 8, ksub: int = 16, seed: int = 42,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      constants=None) -> dict:
+                      constants=None, base_epoch: int | None = None) -> dict:
     """Train (or adopt ``constants``) and encode the corpus into a fresh
-    index at ``path``. Returns the drift baseline record."""
+    index at ``path``. Returns the drift baseline record.
+
+    ``base_epoch`` selects the epoch-partitioned layout
+    (``ingest_batch=<base_epoch>/cell=N``) used by the streaming ingest
+    sink (streaming/ann_stream.py), whose replays need partition-scoped
+    overwrite; the default flat ``cell=N`` layout is unchanged (q106).
+    Search reads either tree identically — it prunes on ``cell``
+    wherever partition discovery finds it."""
     import numpy as np
 
     X = _train_sample(corpus, id_col, vec_col, 65536)
@@ -123,9 +130,13 @@ def build_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 16,
     # encoded rows first — the overwrite clears the directory; the
     # quantizer artifact lands after, and its absence marks a
     # half-built index (loads fail loudly instead of serving stale)
-    (_encode(corpus, cmat, books, id_col, vec_col)
-     .drop("resid_sq")
-     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    enc = _encode(corpus, cmat, books, id_col, vec_col).drop("resid_sq")
+    if base_epoch is None:
+        enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    else:
+        (enc.withColumn("ingest_batch", F.lit(int(base_epoch)))
+         .write.mode("overwrite")
+         .partitionBy("ingest_batch", "cell").parquet(path))
     quantizer_store._save(
         Path(_quantizer_path(path)),
         {"cmat": cmat, "books": books,

@@ -1,0 +1,126 @@
+"""Streaming vector ingestion (streaming/ann_stream.py): the stream-grown
+index serves searches bit-identical to a full re-encode under the same
+quantizer; epoch replay is partition-idempotent; drift is logged per
+micro-batch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_transparencia_sergipe_spark.operators.ann_index import (
+    _load_quantizer,
+    build_ivfpq_index,
+    search_ivfpq_index,
+)
+from etl_transparencia_sergipe_spark.streaming.ann_stream import (
+    ann_ingest_sink,
+    run_ann_ingest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def grown(spark, emb, tmp_path_factory):
+    """Base index on the first 3/4; the last quarter arrives as TWO
+    single-file stream batches. Returns (index, drift, stream_dir, n)."""
+    base = tmp_path_factory.mktemp("ann_stream")
+    n = emb.count()
+    cut = 3 * n // 4
+    stream_dir = base / "incoming"
+    stream_dir.mkdir()
+    mid = (cut + n) // 2
+    for i, (lo, hi) in enumerate([(cut, mid), (mid, n)]):
+        (emb.filter(f"vec_id >= {lo} AND vec_id < {hi}")
+         .coalesce(1).write.parquet(str(base / f"w{i}")))
+        part = next(p for p in (base / f"w{i}").iterdir()
+                    if p.name.endswith(".parquet"))
+        part.rename(stream_dir / f"batch{i}.parquet")
+        import shutil
+
+        shutil.rmtree(base / f"w{i}")
+
+    index = str(base / "index")
+    drift = str(base / "drift")
+    build_ivfpq_index(emb.filter(f"vec_id < {cut}"), index, base_epoch=-1)
+    run_ann_ingest(spark, str(stream_dir), index, drift,
+                   str(base / "ckpt"), max_files_per_trigger=1)
+    return index, drift, str(stream_dir), n
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_grown_index_serves_full_corpus(spark, emb, grown,
+                                               tmp_path):
+    """Searching the stream-grown index == searching a fresh full-corpus
+    encode under the SAME (reused) quantizer — the ann_index equality,
+    with the appends arriving through foreachBatch epochs."""
+    index, _, _, n = grown
+    idx = spark.read.parquet(index)
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
+    # three epochs in the tree: base (-1) + two stream batches
+    assert idx.select("ingest_batch").distinct().count() == 3
+
+    cmat, books, _ = _load_quantizer(index)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivfpq_index(emb, rebuilt, constants=(cmat, books))
+    a = _rows(search_ivfpq_index(emb, index, k=5, r=100))
+    b = _rows(search_ivfpq_index(emb, rebuilt, k=5, r=100))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_epoch_replay_is_idempotent(spark, grown):
+    """Replay one finished epoch through the sink under its original
+    epoch id (retry after a sink crash): the index row set and the
+    drift table must come out bit-identical — dynamic partition
+    overwrite rewrites ingest_batch=N/cell=*, never appends."""
+    index, drift, stream_dir, _ = grown
+    idx_before = _rows(spark.read.parquet(index))
+    drift_before = _rows(spark.read.parquet(drift))
+
+    batch1 = spark.read.parquet(os.path.join(stream_dir, "batch1.parquet"))
+    some_id = batch1.select("vec_id").first()[0]
+    epoch = (spark.read.parquet(index)
+             .filter(f"vec_id = {some_id}")
+             .select("ingest_batch").first()[0])
+    sink = ann_ingest_sink(index, drift)
+    sink(batch1, int(epoch))
+
+    assert _rows(spark.read.parquet(index)) == idx_before
+    assert _rows(spark.read.parquet(drift)) == drift_before
+
+
+def test_drift_logged_per_epoch_in_distribution(spark, grown):
+    """One drift record per stream epoch; in-distribution appends sit
+    near the training baseline (the same 0.5-1.5 band the batch append
+    test pins)."""
+    _, drift, _, _ = grown
+    d = spark.read.parquet(drift)
+    recs = {r["batch_id"]: r for r in d.collect()}
+    assert len(recs) == 2
+    for r in recs.values():
+        assert r["n_rows"] > 0
+        assert r["baseline_resid_sq"] > 0
+        assert 0.5 < r["drift_ratio"] < 1.5
+
+
+def test_search_prunes_cells_on_epoch_layout(spark, emb, grown):
+    """Cell-partition pruning survives the two-level
+    ingest_batch/cell tree: PartitionFilters still carry the cell
+    predicate."""
+    index, _, _, _ = grown
+    out = search_ivfpq_index(emb, index, k=5, nprobe=2, r=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+    out.collect()

@@ -17,6 +17,9 @@ Scenarios:
 - sigstore_sink    (foreachBatch probe-then-append incremental dedup
   over the documents table, replay-idempotent parquet signature store;
   measured in docs/sec over its own 8-shard stream)
+- ann_ingest_sink  (foreachBatch assign-only ANN-index append over an
+  8-shard embeddings stream against a pre-trained base index;
+  measured in vectors/sec with the per-epoch drift-ratio range)
 
 Prints one JSON line: {"n_events", "sf_dir", "scenarios": {name:
 {"sec", "events_per_sec", "out_rows"}}}.
@@ -172,6 +175,7 @@ def main() -> None:
               file=sys.stderr)
 
     n_docs = bench_sigstore(spark, sf_dir, out)
+    bench_ann_ingest(spark, sf_dir, out)
 
     print(json.dumps({
         "n_events": n_events, "n_docs": n_docs, "sf_dir": sf_dir,
@@ -303,6 +307,50 @@ def bench_sigstore(spark, sf_dir: str, out: dict) -> int:
     print(f"# sigstore_sink: {sec:.2f}s  {n_docs / sec:,.0f} docs/s  "
           f"{flags} flagged", file=sys.stderr)
     return n_docs
+
+
+def bench_ann_ingest(spark, sf_dir: str, out: dict) -> None:
+    """foreachBatch ANN-index ingest over an 8-shard embeddings stream:
+    base index trained+built on the first half of the corpus, the
+    second half arrives as 8 micro-batches of assign-only appends
+    (streaming/ann_stream.py). Measured in vectors/sec; the per-epoch
+    drift ratios are summarized to show the in-distribution band."""
+    from etl_transparencia_sergipe_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+    from etl_transparencia_sergipe_spark.streaming.ann_stream import (
+        run_ann_ingest,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch", f"ann_bench_{tag}"))
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    half = n // 2
+    emb_dir = os.path.join(base, "incoming")
+    (emb.filter(f"vec_id >= {half}").repartition(N_SHARDS)
+     .write.mode("overwrite").parquet(emb_dir))
+    index = os.path.join(base, "index")
+    drift = os.path.join(base, "drift")
+    build_ivfpq_index(emb.filter(f"vec_id < {half}"), index, base_epoch=-1)
+    t0 = time.time()
+    run_ann_ingest(spark, emb_dir, index, drift,
+                   checkpoint_dir=os.path.join(base, "ckpt"))
+    sec = time.time() - t0
+    n_stream = n - half
+    d = spark.read.parquet(drift).agg(
+        F.min("drift_ratio"), F.max("drift_ratio")).collect()[0]
+    out["ann_ingest_sink"] = {
+        "sec": round(sec, 3),
+        "vectors_per_sec": round(n_stream / sec),
+        "sec_per_batch": round(sec / N_SHARDS, 3),
+        "out_rows": n_stream,
+        "drift_ratio_range": [round(d[0], 3), round(d[1], 3)],
+    }
+    print(f"# ann_ingest_sink: {sec:.2f}s  {n_stream / sec:,.0f} vec/s  "
+          f"drift {d[0]:.3f}-{d[1]:.3f}", file=sys.stderr)
 
 
 if __name__ == "__main__":
