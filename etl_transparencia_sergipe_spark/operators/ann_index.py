@@ -168,6 +168,79 @@ def append_ivfpq_index(batch: DataFrame, path: str,
     }
 
 
+def compact_ann_index(spark: SparkSession, path: str) -> dict:
+    """Fold every ingest epoch of an epoch-partitioned index into the
+    base epoch — the LSM compaction posture (operators/sigstore.py
+    compact_banded_store) applied to the vector index.
+
+    Streaming appends write ≤ n_cells small files per epoch; after many
+    epochs the cell scan pays per-file open cost. Compaction rewrites
+    the codes into ``ingest_batch=-1/cell=N`` with ONE file per cell,
+    preserving search results bit-identically (codes are immutable —
+    this moves rows, it never re-encodes).
+
+    Concurrency contract: run between stream runs (availableNow batch
+    cycles), never while a sink is writing — folding an epoch that a
+    crashed stream later replays would duplicate its rows. Crash
+    safety favors LOUD over wrong: the new tree is fully written to
+    ``<path>_compact_tmp`` (quantizer artifact included) before a
+    root-level two-step rename swap, so a crash leaves either the old
+    tree,
+    or a missing root with the old tree at ``<path>_compact_old`` —
+    searches fail loudly instead of seeing duplicates, and the next
+    compact_ann_index call repairs the swap before proceeding. A
+    transactional manifest (Iceberg/Delta) is the production upgrade;
+    plain parquet + rename keeps the engine dependency-free.
+
+    Returns {"n_rows", "n_files_before", "n_files_after"}.
+    """
+    from pathlib import Path
+
+    from etl_transparencia_sergipe_spark.operators.sigstore import _fs
+
+    root = path.rstrip("/")
+    fs, hpath, jvm = _fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    old = HPath(root + "_compact_old")
+    # crash repair: a previous compaction died between the two renames
+    if not fs.exists(hpath) and fs.exists(old):
+        fs.rename(old, hpath)
+
+    def _count_files(p):
+        it, n = fs.listFiles(HPath(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    n_before = _count_files(root)
+    cmat, books, baseline = _load_quantizer(root)
+    m = books.shape[0]
+    codes = spark.read.parquet(root)
+    tmp = root + "_compact_tmp"
+    fs.delete(HPath(tmp), True)
+    # one task per cell -> one file per cell dir
+    (codes.selectExpr("vec_id", *[f"c{mm}" for mm in range(m)], "cell")
+     .repartition(int(cmat.shape[0]), "cell")
+     .withColumn("ingest_batch", F.lit(-1))
+     .write.partitionBy("ingest_batch", "cell").parquet(tmp))
+    import numpy as np
+
+    quantizer_store._save(
+        Path(tmp) / "_quantizer.parquet",
+        {"cmat": cmat, "books": books,
+         "baseline_resid": np.array([[baseline]])})
+    n_rows = spark.read.parquet(tmp).count()
+
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(hpath, old)
+    fs.rename(HPath(tmp), hpath)
+    fs.delete(old, True)
+    return {"n_rows": int(n_rows), "n_files_before": int(n_before),
+            "n_files_after": int(_count_files(root))}
+
+
 def search_ivfpq_index(corpus: DataFrame, path: str, k: int = 5,
                        nprobe: int = 4, r: int = 100,
                        id_col: str = "vec_id",

@@ -115,6 +115,38 @@ def test_drift_logged_per_epoch_in_distribution(spark, grown):
         assert 0.5 < r["drift_ratio"] < 1.5
 
 
+def test_compaction_preserves_search_and_merges_epochs(spark, emb,
+                                                       tmp_path):
+    """compact_ann_index folds all ingest epochs into the base epoch:
+    search results bit-identical, one epoch left, fewer files."""
+    from etl_transparencia_sergipe_spark.operators.ann_index import (
+        compact_ann_index,
+    )
+
+    index = str(tmp_path / "idx")
+    drift = str(tmp_path / "drift")
+    n = emb.count()
+    cut = n // 2
+    build_ivfpq_index(emb.filter(f"vec_id < {cut}"), index, base_epoch=-1)
+    sink = ann_ingest_sink(index, drift)
+    mid = (cut + n) // 2
+    sink(emb.filter(f"vec_id >= {cut} AND vec_id < {mid}"), 0)
+    sink(emb.filter(f"vec_id >= {mid}"), 1)
+
+    before = _rows(search_ivfpq_index(emb, index, k=5, r=100))
+    report = compact_ann_index(spark, index)
+    after = _rows(search_ivfpq_index(emb, index, k=5, r=100))
+    assert after == before
+    idx = spark.read.parquet(index)
+    assert idx.count() == n == report["n_rows"]
+    assert idx.select("ingest_batch").distinct().collect() == [(-1,)]
+    assert report["n_files_after"] < report["n_files_before"]
+    # append-after-compact still works: the quantizer artifact survived
+    sink(emb.filter(f"vec_id >= {mid}").selectExpr(
+        f"vec_id + {n} AS vec_id", "embedding"), 2)
+    assert spark.read.parquet(index).count() == n + (n - mid)
+
+
 def test_search_prunes_cells_on_epoch_layout(spark, emb, grown):
     """Cell-partition pruning survives the two-level
     ingest_batch/cell tree: PartitionFilters still carry the cell
