@@ -147,6 +147,32 @@ def test_compaction_preserves_search_and_merges_epochs(spark, emb,
     assert spark.read.parquet(index).count() == n + (n - mid)
 
 
+def test_compaction_repairs_half_finished_swap(spark, emb, tmp_path):
+    """Crash window: a previous compaction renamed the root away but
+    died before moving the new tree in. The next compact_ann_index
+    call must first restore the old tree from <path>_compact_old, then
+    compact it — searches afterwards see the full corpus."""
+    import shutil
+
+    from etl_transparencia_sergipe_spark.operators.ann_index import (
+        compact_ann_index,
+    )
+
+    index = str(tmp_path / "idx")
+    n = emb.count()
+    cut = n // 2
+    build_ivfpq_index(emb.filter(f"vec_id < {cut}"), index, base_epoch=-1)
+    sink = ann_ingest_sink(index, str(tmp_path / "drift"))
+    sink(emb.filter(f"vec_id >= {cut}"), 0)
+    expected = _rows(search_ivfpq_index(emb, index, k=5, r=100))
+
+    # simulate the crash: root swapped out, tmp tree lost
+    shutil.move(index, index + "_compact_old")
+    report = compact_ann_index(spark, index)
+    assert report["n_rows"] == n
+    assert _rows(search_ivfpq_index(emb, index, k=5, r=100)) == expected
+
+
 def test_search_prunes_cells_on_epoch_layout(spark, emb, grown):
     """Cell-partition pruning survives the two-level
     ingest_batch/cell tree: PartitionFilters still carry the cell
