@@ -144,23 +144,66 @@ def build_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 16,
     return {"baseline_resid_sq": baseline, "n_cells": int(n_cells)}
 
 
+def _index_layout(spark: SparkSession, path: str) -> str:
+    """'epoch' if the index tree is epoch-partitioned
+    (``ingest_batch=*/cell=*``, the streaming-sink layout), else 'flat'
+    (``cell=*``, the q106 batch layout)."""
+    from etl_transparencia_sergipe_spark.operators.sigstore import _fs
+
+    fs, hpath, jvm = _fs(spark, path.rstrip("/"))
+    for status in fs.listStatus(hpath):
+        if status.getPath().getName().startswith("ingest_batch="):
+            return "epoch"
+    return "flat"
+
+
 def append_ivfpq_index(batch: DataFrame, path: str,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> dict:
+                       vec_col: str = "embedding",
+                       epoch: int | None = None) -> dict:
     """Assign-only append: encode ``batch`` against the STORED quantizer
     (no retrain, no re-encode of existing rows) and append into the
     cell partitions. Returns the drift self-report:
     {batch_resid_sq, baseline_resid_sq, drift_ratio} — ratio >> 1 says
     the incoming distribution has left the trained centroids and a
-    rebuild is warranted."""
+    rebuild is warranted.
+
+    Layout guard (round-7 ADVICE): an index built with
+    ``base_epoch=...`` is epoch-partitioned (``ingest_batch=N/cell=M``);
+    appending the flat ``cell=M`` layout under the same root would mix
+    partition depths and every later ``spark.read.parquet(path)`` fails
+    with "conflicting directory structures" — corrupting the index. The
+    layout is detected from the existing tree: an epoch-partitioned
+    index REQUIRES ``epoch`` (the batch lands in its own
+    ``ingest_batch=<epoch>`` partition); a flat index REJECTS it.
+    """
     from etl_transparencia_sergipe_spark.caching import persist_scoped
+
+    layout = _index_layout(batch.sparkSession, path)
+    if layout == "epoch" and epoch is None:
+        raise ValueError(
+            f"index at {path} is epoch-partitioned (ingest_batch=*); "
+            "pass epoch=<n> so the append lands in its own partition "
+            "(a flat cell=* append would corrupt the tree)")
+    if layout == "flat" and epoch is not None:
+        raise ValueError(
+            f"index at {path} is flat (cell=*); epoch={epoch} would mix "
+            "partition depths — omit epoch for flat indexes")
 
     cmat, books, baseline = _load_quantizer(path)
     enc = _encode(batch, cmat, books, id_col, vec_col) \
         .transform(persist_scoped)
-    batch_resid = enc.agg(F.avg("resid_sq")).collect()[0][0]
-    (enc.drop("resid_sq")
-     .write.mode("append").partitionBy("cell").parquet(path))
+    try:
+        batch_resid = enc.agg(F.avg("resid_sq")).collect()[0][0]
+        out = enc.drop("resid_sq")
+        if epoch is None:
+            out.write.mode("append").partitionBy("cell").parquet(path)
+        else:
+            (out.withColumn("ingest_batch", F.lit(int(epoch)))
+             .write.mode("append")
+             .partitionBy("ingest_batch", "cell").parquet(path))
+    finally:
+        enc.unpersist()
     return {
         "batch_resid_sq": float(batch_resid),
         "baseline_resid_sq": baseline,
@@ -168,8 +211,9 @@ def append_ivfpq_index(batch: DataFrame, path: str,
     }
 
 
-def compact_ann_index(spark: SparkSession, path: str) -> dict:
-    """Fold every ingest epoch of an epoch-partitioned index into the
+def compact_ann_index(spark: SparkSession, path: str,
+                      upto_epoch: int | None = None) -> dict:
+    """Fold ingest epochs of an epoch-partitioned index into the
     base epoch — the LSM compaction posture (operators/sigstore.py
     compact_banded_store) applied to the vector index.
 
@@ -179,9 +223,24 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     preserving search results bit-identically (codes are immutable —
     this moves rows, it never re-encodes).
 
+    ``upto_epoch`` (round-7 ADVICE, mirrors compact_banded_store): fold
+    only epochs STRICTLY BELOW it; epochs >= upto_epoch stay live as
+    their own partitions. This is the safe mode to run alongside a
+    streaming sink whose checkpoint may replay its most recent epoch:
+    a replayed epoch that was already folded into ingest_batch=-1
+    would be re-written by the sink's dynamic overwrite and every row
+    of that epoch duplicated — and search_ivfpq_index has no distinct,
+    so duplicate neighbors consume shortlist/top-k slots silently.
+    Pass the stream's last COMMITTED epoch (readable from the
+    checkpoint's offsets directory) so anything it can replay is never
+    folded. The still-live epochs are carried into the new tree by a
+    read+rewrite (they are recent micro-batches, so small), keeping the
+    all-or-nothing root swap below intact. Default (None) folds
+    everything — correct only between stream runs with a clean
+    checkpoint (the original contract).
+
     Concurrency contract: run between stream runs (availableNow batch
-    cycles), never while a sink is writing — folding an epoch that a
-    crashed stream later replays would duplicate its rows. Crash
+    cycles), never while a sink is writing. Crash
     safety favors LOUD over wrong: the new tree is fully written to
     ``<path>_compact_tmp`` (quantizer artifact included) before a
     root-level two-step rename swap, so a crash leaves either the old
@@ -217,13 +276,25 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     cmat, books, baseline = _load_quantizer(root)
     m = books.shape[0]
     codes = spark.read.parquet(root)
+    fold = codes if upto_epoch is None else codes.filter(
+        F.col("ingest_batch") < int(upto_epoch))
     tmp = root + "_compact_tmp"
     fs.delete(HPath(tmp), True)
     # one task per cell -> one file per cell dir
-    (codes.selectExpr("vec_id", *[f"c{mm}" for mm in range(m)], "cell")
+    (fold.selectExpr("vec_id", *[f"c{mm}" for mm in range(m)], "cell")
      .repartition(int(cmat.shape[0]), "cell")
      .withColumn("ingest_batch", F.lit(-1))
      .write.partitionBy("ingest_batch", "cell").parquet(tmp))
+    if upto_epoch is not None:
+        # carry the still-live epochs (>= upto_epoch, replay-reachable)
+        # into the new tree unchanged — rewritten rather than moved so
+        # the root swap stays all-or-nothing (partition pruning makes
+        # this a scan of only those epoch directories)
+        live = codes.filter(F.col("ingest_batch") >= int(upto_epoch))
+        (live.selectExpr("vec_id", *[f"c{mm}" for mm in range(m)],
+                         "ingest_batch", "cell")
+         .write.mode("append")
+         .partitionBy("ingest_batch", "cell").parquet(tmp))
     import numpy as np
 
     quantizer_store._save(
@@ -239,6 +310,83 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     fs.delete(old, True)
     return {"n_rows": int(n_rows), "n_files_before": int(n_before),
             "n_files_after": int(_count_files(root))}
+
+
+def rebuild_ann_index(corpus: DataFrame, path: str, n_cells: int = 16,
+                      m: int = 8, ksub: int = 16, seed: int = 42,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict:
+    """Act on the drift signal: retrain the quantizer on the CURRENT
+    corpus sample, re-encode every vector, and atomically swap the new
+    tree in (round-7 VERDICT item 4 — append_ivfpq_index self-reports
+    drift > 2 as "retrain warranted"; this is the operation that
+    answers it).
+
+    The swap reuses compact_ann_index's two-rename protocol AND its
+    marker names (``_compact_tmp`` / ``_compact_old``), so a crash mid-
+    rebuild is repaired by the same logic: either the old tree is still
+    at the root, or the root is missing and the old tree sits at
+    ``_compact_old`` (compact_ann_index and the next rebuild both
+    repair that before proceeding). Searches never see a half-rebuilt
+    index.
+
+    Layout is preserved: an epoch-partitioned index rebuilds into the
+    folded base epoch (``ingest_batch=-1``) — a rebuild re-encodes
+    everything, so per-epoch provenance of old batches is spent. Same
+    concurrency contract as compaction: run between stream runs; a
+    checkpoint that replays an already-re-encoded epoch would duplicate
+    its rows.
+
+    Determinism: same corpus + same seed => bit-identical quantizer and
+    codes (kmeans init is seeded, the training sample is hash-ordered),
+    so an in-distribution rebuild leaves search results unchanged
+    (tests/test_ann_index.py pins that).
+
+    Returns {"baseline_resid_sq", "n_cells", "layout"}.
+    """
+    from pathlib import Path as _P  # noqa: F401 (parity with build)
+
+    from etl_transparencia_sergipe_spark.operators.sigstore import _fs
+
+    spark = corpus.sparkSession
+    root = path.rstrip("/")
+    fs, hpath, jvm = _fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    old = HPath(root + "_compact_old")
+    # crash repair: a previous compaction/rebuild died mid-swap
+    if not fs.exists(hpath) and fs.exists(old):
+        fs.rename(old, hpath)
+    layout = _index_layout(spark, root)
+    tmp = root + "_compact_tmp"
+    fs.delete(HPath(tmp), True)
+    report = build_ivfpq_index(
+        corpus, tmp, n_cells=n_cells, m=m, ksub=ksub, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+        base_epoch=-1 if layout == "epoch" else None)
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(hpath, old)
+    fs.rename(HPath(tmp), hpath)
+    fs.delete(old, True)
+    return {**report, "layout": layout}
+
+
+def maybe_rebuild_ann_index(spark: SparkSession, index_path: str,
+                            drift_path: str, corpus: DataFrame,
+                            threshold: float = 2.0, **rebuild_kw) -> dict:
+    """The automated maintenance step the drift log feeds: read the
+    LATEST drift self-report written by the streaming ingest sink
+    (streaming/ann_stream.py) or batch appends, and rebuild the index
+    iff ``drift_ratio > threshold``. Run it between stream runs (the
+    rebuild concurrency contract). Returns
+    {"rebuilt": bool, "drift_ratio": float, ...rebuild report}."""
+    last = (spark.read.parquet(drift_path)
+            .orderBy(F.desc("batch_id")).limit(1).collect())
+    ratio = float(last[0]["drift_ratio"]) if last else 0.0
+    if not last or ratio <= threshold:
+        return {"rebuilt": False, "drift_ratio": ratio}
+    report = rebuild_ann_index(corpus, index_path, **rebuild_kw)
+    return {"rebuilt": True, "drift_ratio": ratio, **report}
 
 
 def search_ivfpq_index(corpus: DataFrame, path: str, k: int = 5,

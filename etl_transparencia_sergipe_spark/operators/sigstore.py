@@ -278,7 +278,8 @@ def probe_signature_store(spark: SparkSession, store_path: str,
                           n: int = 3,
                           ingest_batch_lt: int | None = None,
                           pushdown_max_keys: int = 1024,
-                          new_sig: DataFrame | None = None) -> DataFrame:
+                          new_sig: DataFrame | None = None,
+                          broadcast_probe: bool | None = None) -> DataFrame:
     """LSH-probe a NEW batch against a persisted banded signature store.
 
     Returns DataFrame[old_id, new_id, n_agree] where n_agree is the
@@ -304,6 +305,19 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     probe its own (possibly already-written) signatures, or it emits
     self-pairs and intra-batch pairs that break the cross-batch-only
     contract. Partition pruning turns this into a directory skip.
+
+    ``broadcast_probe`` (round-7 ADVICE): the broadcast hint BYPASSES
+    spark.sql.autoBroadcastJoinThreshold, so an unconditional
+    F.broadcast(batch bands) is only safe when the caller knows the
+    batch is small (a streaming micro-batch — the sink passes True). A
+    BULK probe (q81's whole src>=15 split at a large SF: bands x (k+2)
+    ints per doc) can outgrow driver/executor memory, where a shuffled
+    hash join degrades gracefully. Default None auto-decides from the
+    size signal the plan already has: the pushdown key collection —
+    when the batch's distinct band keys fit the pushdown budget the
+    batch is point-probe sized and broadcasts; otherwise (too many
+    keys, or pushdown disabled and no explicit True) the probe side
+    gets a shuffle_hash hint instead.
     """
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
@@ -329,19 +343,24 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     # and on Spark's runtime bloom-filter injection for row-level
     # pre-join pruning at cluster scale, where a static list that size
     # is impractical anyway.
+    point_probe = False
     if pushdown_max_keys > 0:
         keys = sorted({r[0] for r in
                        batch_bands.select("band_hash").collect()})
         if len(keys) <= pushdown_max_keys:
             old = old.filter(F.col("band_hash").isin(keys))
+            point_probe = True
 
     x = old.select(F.col("doc_id").alias("old_id"), "band_id", "band_hash",
                    *[f"mh{i}" for i in range(k)])
     y = batch_bands.select(
         F.col("doc_id").alias("new_id"), "band_id", "band_hash",
         *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)])
+    use_broadcast = (broadcast_probe if broadcast_probe is not None
+                     else point_probe)
+    y = F.broadcast(y) if use_broadcast else y.hint("shuffle_hash")
     return (
-        x.join(F.broadcast(y), ["band_id", "band_hash"])
+        x.join(y, ["band_id", "band_hash"])
         .withColumn("n_agree", F.expr(" + ".join(
             f"CASE WHEN mh{i} = _b{i} THEN 1 ELSE 0 END"
             for i in range(k))).cast("bigint"))

@@ -80,34 +80,40 @@ def ann_ingest_sink(index_path: str, drift_path: str,
         cmat, books, baseline = _load_quantizer(index_path)
         enc = _encode(batch_df, cmat, books, id_col, vec_col) \
             .transform(persist_scoped)
-        # one job for the whole drift aggregate (count + mean fused);
-        # the persisted encode then feeds the partition write below
-        stats = enc.agg(F.count("*").alias("n"),
-                        F.avg("resid_sq").alias("r")).collect()[0]
-        n_rows = int(stats["n"])
-        if n_rows == 0:
+        # unpersist in finally (round-7 ADVICE): if a write throws and
+        # Spark replays the epoch, a success-path-only unpersist leaks
+        # the cached partitions — cache pressure accumulating across
+        # replayed epochs of a long-running stream
+        try:
+            # one job for the whole drift aggregate (count + mean
+            # fused); the persisted encode then feeds the writes below
+            stats = enc.agg(F.count("*").alias("n"),
+                            F.avg("resid_sq").alias("r")).collect()[0]
+            n_rows = int(stats["n"])
+            if n_rows == 0:
+                return
+            batch_resid = float(stats["r"])
+            # partition-scoped overwrite: replaying epoch N rewrites
+            # only ingest_batch=N/cell=* (deterministic cell assignment
+            # under the stored quantizer -> identical partition set on
+            # every replay)
+            (enc.drop("resid_sq")
+             .withColumn("ingest_batch", F.lit(int(epoch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("ingest_batch", "cell")
+             .parquet(index_path))
+            drift = spark.createDataFrame(
+                [(int(epoch_id), int(n_rows), batch_resid, baseline,
+                  batch_resid / baseline)],
+                "batch_id bigint, n_rows bigint, batch_resid_sq double, "
+                "baseline_resid_sq double, drift_ratio double")
+            (drift.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(drift_path))
+        finally:
             enc.unpersist()
-            return
-        batch_resid = float(stats["r"])
-        # partition-scoped overwrite: replaying epoch N rewrites only
-        # ingest_batch=N/cell=* (deterministic cell assignment under the
-        # stored quantizer -> identical partition set on every replay)
-        (enc.drop("resid_sq")
-         .withColumn("ingest_batch", F.lit(int(epoch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("ingest_batch", "cell")
-         .parquet(index_path))
-        drift = spark.createDataFrame(
-            [(int(epoch_id), int(n_rows), batch_resid, baseline,
-              batch_resid / baseline)],
-            "batch_id bigint, n_rows bigint, batch_resid_sq double, "
-            "baseline_resid_sq double, drift_ratio double")
-        (drift.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id")
-         .parquet(drift_path))
-        enc.unpersist()
 
     return write_batch
 

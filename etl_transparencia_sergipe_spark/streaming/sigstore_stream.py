@@ -87,6 +87,16 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         # both the probe (passed through new_sig) and the banded append
         sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n) \
             .transform(persist_scoped)
+        # unpersist in finally (round-7 ADVICE): a thrown write followed
+        # by an epoch replay must not leak the cached signature
+        # partitions — state between batches lives in parquet only
+        try:
+            _probe_and_append(spark, batch_df, sig, int(epoch_id))
+        finally:
+            sig.unpersist()
+
+    def _probe_and_append(spark: SparkSession, batch_df: DataFrame,
+                          sig: DataFrame, epoch_id: int) -> None:
         banded = banded_signatures(sig, k=k, bands=bands)
 
         # Replay-safe probe: (a) readiness check goes through the Hadoop
@@ -110,10 +120,15 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
             # per batch (measured ~1 s at sf1); bulk probes are served
             # by the broadcast join alone
             flags = (
+                # broadcast_probe=True: a streaming micro-batch always
+                # fits in a broadcast (the O(batch) probe shape); bulk
+                # batch probes leave it to the auto-gate (round-7
+                # ADVICE)
                 probe_signature_store(spark, store_path, batch_df,
                                       id_col, text_col, k=k, bands=bands,
                                       n=n, ingest_batch_lt=int(epoch_id),
-                                      pushdown_max_keys=0, new_sig=sig)
+                                      pushdown_max_keys=0, new_sig=sig,
+                                      broadcast_probe=True)
                 .filter(F.col("n_agree") >= min_agree)
                 .withColumn("batch_id", F.lit(int(epoch_id)))
             )
@@ -132,9 +147,6 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
         write_banded_store(
             banded.withColumn("ingest_batch", F.lit(int(epoch_id))),
             store_path, partition_by=["ingest_batch"], n_files=1)
-        # epoch-scoped cache: drop before the next micro-batch so state
-        # between batches lives in parquet only (module contract)
-        sig.unpersist()
 
     return write_batch
 
