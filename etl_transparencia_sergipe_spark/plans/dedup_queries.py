@@ -598,6 +598,176 @@ def q81_sigstore_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q107: canonical-representative contraction dedup ----------------------
+# (round-7 VERDICT item 1 — the standing 100 TB scale rule, built)
+
+# probe part of the oracle, shared between the registered pure-SQL form
+# (recursive-CTE old_cc, driver at sf0.01) and the oracle_py fast form
+# (iterative cc_labels_duck old_cc, local gate at sf1/sf10). {old_cc}
+# is a table/CTE [node, component] over the OLD corpus's near-dup graph.
+_Q107_PROBE_SQL = f"""
+    canon AS (
+        SELECT DISTINCT component AS cid FROM {{old_cc}}
+        UNION
+        SELECT doc_id FROM documents
+        WHERE CAST(SUBSTR(source, 4) AS INT) < 15
+          AND doc_id NOT IN (SELECT node FROM {{old_cc}})
+    ),
+    q107_base AS (
+        SELECT doc_id,
+               CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new,
+               {shingles_duck('text', 3)} AS sh
+        FROM documents
+        WHERE CAST(SUBSTR(source, 4) AS INT) >= 15
+           OR doc_id IN (SELECT cid FROM canon)
+    ),
+    q107_hashed AS (
+        SELECT doc_id, is_new,
+               list_transform(sh, s -> {h60_duck('s')} % {MERSENNE}) AS hs
+        FROM q107_base
+    ),
+    sig AS (
+        SELECT doc_id, is_new, {_Q81_SIG}
+        FROM q107_hashed
+    ),
+    q107_banded AS (
+            {_Q81_BANDS}
+    ),
+    q107_cand AS (
+        SELECT DISTINCT x.doc_id AS canonical_id, y.doc_id AS new_id
+        FROM q107_banded x JOIN q107_banded y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         AND NOT x.is_new AND y.is_new
+    ),
+    q107_verified AS (
+        SELECT new_id, canonical_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM q107_cand
+        JOIN q107_base a ON a.doc_id = canonical_id
+        JOIN q107_base b ON b.doc_id = new_id
+    )
+    SELECT new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_clusters,
+           MAX(jaccard) AS max_jaccard,
+           CAST(MIN(canonical_id) AS BIGINT) AS first_canonical
+    FROM q107_verified WHERE jaccard >= 0.4
+    GROUP BY new_id
+"""
+
+
+def _q107_oracle_py(con):
+    """Fast local oracle: iterative label propagation over the OLD
+    corpus's near-dup graph (plans/cc_oracle — the q38/q97 fast-CC
+    path), then the contraction probe in plain SQL. Bit-identical to
+    the registered recursive-CTE form (driver runs that at sf0.01)."""
+    from etl_transparencia_sergipe_spark.plans.cc_oracle import (
+        cc_labels_duck,
+    )
+
+    con.execute("CREATE OR REPLACE TEMP VIEW _q107_old_docs AS "
+                "SELECT * FROM documents "
+                "WHERE CAST(SUBSTR(source, 4) AS INT) < 15")
+    old_sql = minhash_lsh_pairs_duck('_q107_old_docs', 'doc_id', 'text',
+                                     k=16, bands=4, threshold=0.4)
+    t = cc_labels_duck(con, old_sql)
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _q107_old_cc AS "
+                f"SELECT * FROM {t}")
+    return con.execute(
+        "WITH " + _Q107_PROBE_SQL.format(old_cc="_q107_old_cc")
+    ).fetchdf()
+
+
+@register(
+    "q107_canonical_dedup",
+    oracle_py=_q107_oracle_py,
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+    flags AS (SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new
+              FROM documents),
+    old_pairs AS (
+        SELECT p.id_a, p.id_b FROM pairs p
+        JOIN flags fa ON fa.doc_id = p.id_a
+        JOIN flags fb ON fb.doc_id = p.id_b
+        WHERE NOT fa.is_new AND NOT fb.is_new
+    ),
+    old_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM old_pairs
+        UNION
+        SELECT id_b, id_a FROM old_pairs
+    ),
+    old_reach AS (
+        SELECT src AS node, src AS m FROM old_edges
+        UNION
+        SELECT src AS node, dst AS m FROM old_edges
+        UNION
+        SELECT r.node, e.dst AS m
+        FROM old_reach r JOIN old_edges e ON r.m = e.src
+    ),
+    old_cc AS (SELECT node, MIN(m) AS component FROM old_reach
+               GROUP BY node),
+    {_Q107_PROBE_SQL.format(old_cc="old_cc")}
+    """,
+    doc="P10 CANONICAL-CONTRACTION incremental dedup [EXT]: the old "
+        "corpus's (src0-14) near-dup clusters are contracted to ONE "
+        "canonical representative each (the min-member-id component "
+        "label — operators/components.py) whose banded signatures are "
+        "the ONLY stored probe surface (operators/canonical.py); a new "
+        "batch (src15+) band-joins against canonicals and exact-"
+        "Jaccard-verifies ONE pair per (new doc, matched cluster) — "
+        "never per member. This deletes the verify quadratic that "
+        "banded LSH leaves on clique-dense corpora (a clique of m docs "
+        "verifies m pairs per new doc in q79, m^2/2 pairs in q31's "
+        "full self-dedup — 390 s at sf10): batch verify cost is "
+        "~linear in batch size regardless of historical duplicate "
+        "density (measured, BASELINE.md round 8). The recall trade is "
+        "explicit: a new doc is found iff it collides with the "
+        "canonical, not with any member. State build (cluster + "
+        "canonical store) is one-time per corpus era, cached in "
+        ".scratch keyed by source-file identity (the q81 posture); "
+        "the oracle recomputes everything from text in SQL — "
+        "recursive-CTE components at the driver's sf0.01, the "
+        "iterative cc_labels_duck twin locally at sf1/sf10.",
+)
+def q107_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from etl_transparencia_sergipe_spark.operators.canonical import (
+        build_canonical_state,
+        probe_canonical_state,
+    )
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        STORE_FORMAT,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    is_new = F.expr("CAST(SUBSTR(source, 4) AS INT) >= 15")
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = (f"v{STORE_FORMAT}_" + sf_dir.strip("/").replace("/", "_")
+           + f"_{st.st_size}_{int(st.st_mtime)}")
+    store = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", ".scratch",
+        f"canonstore_{tag}"))
+    if not (os.path.exists(os.path.join(store, "labels", "_SUCCESS"))
+            and os.path.exists(os.path.join(store, "sigs", "_SUCCESS"))):
+        # one-time cluster + canonical-store build over the historical
+        # corpus (in production: maintained incrementally by
+        # absorb_batch); every later run is probe-only
+        build_canonical_state(docs.filter(~is_new), "doc_id", "text",
+                              store)
+
+    matches = probe_canonical_state(
+        spark, store, docs, docs.filter(is_new), "doc_id", "text")
+    return (
+        matches.groupBy("new_id")
+        .agg(F.count("*").cast("bigint").alias("n_matched_clusters"),
+             F.max("jaccard").alias("max_jaccard"),
+             F.min("canonical_id").cast("bigint").alias("first_canonical"))
+    )
+
+
 # --- q97: incremental connected components (contraction update) -----------
 
 _Q97_FLAGS = ("SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) >= 15 AS is_new"

@@ -1,0 +1,139 @@
+"""Canonical-representative contraction (operators/canonical.py): the
+state build keeps one signature set per cluster, the probe verifies one
+pair per (new doc, matched cluster) — never per member — and
+absorb_batch folds a batch into the state so later batches match it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.canonical import (
+    absorb_batch,
+    build_canonical_state,
+    probe_canonical_state,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# a 6-member duplicate CLIQUE (ids 0..5, near-identical long texts that
+# share almost every 3-shingle) plus two singletons far from everything
+_BASE = ("the quick brown fox jumps over the lazy dog near the old barn "
+         "while rain falls softly on the quiet village road")
+
+
+@pytest.fixture(scope="module")
+def state(spark, tmp_path_factory):
+    old_rows = (
+        [(i, _BASE + f" tail variant {'common' if i < 4 else 'common'}")
+         for i in range(6)]
+        + [(10, "completely different text about spark physical plans "
+                "and shuffle partitions in distributed query engines"),
+           (11, "unrelated sentence mentioning parquet row groups zone "
+                "maps bloom filters and columnar compression codecs")]
+    )
+    old = _docs(spark, old_rows)
+    path = str(tmp_path_factory.mktemp("canon") / "state")
+    report = build_canonical_state(old, "doc_id", "text", path)
+    return path, old, report
+
+
+def test_state_labels_every_old_doc_and_stores_canonicals_only(
+        spark, state):
+    path, old, report = state
+    labels = spark.read.parquet(path + "/labels")
+    assert labels.count() == old.count() == report["n_docs"]
+    # the 6-clique contracts to one canonical (min id 0); singletons
+    # label themselves
+    lab = {r["node"]: r["canonical_id"] for r in labels.collect()}
+    assert all(lab[i] == 0 for i in range(6))
+    assert lab[10] == 10 and lab[11] == 11
+    assert report["n_canonicals"] == 3
+    # the signature store holds ONLY canonical docs' rows
+    store_ids = {r[0] for r in spark.read.parquet(path + "/sigs")
+                 .select("doc_id").distinct().collect()}
+    assert store_ids == {0, 10, 11}
+
+
+def test_probe_verifies_one_pair_per_cluster_not_per_member(spark, state):
+    """The contraction contract: a new copy of the clique's content
+    yields exactly ONE verified pair (vs 6 in a member-level verify),
+    pointing at the cluster's canonical."""
+    path, old, _ = state
+    new = _docs(spark, [(100, _BASE + " tail variant common")])
+    matches = probe_canonical_state(spark, path, old.unionByName(new),
+                                    new, "doc_id", "text")
+    rows = matches.collect()
+    assert len(rows) == 1
+    assert rows[0]["new_id"] == 100
+    assert rows[0]["canonical_id"] == 0
+    assert rows[0]["jaccard"] >= 0.4
+
+
+def test_probe_misses_nothing_on_fresh_content(spark, state):
+    path, old, _ = state
+    new = _docs(spark, [(101, "entirely novel content with no shared "
+                              "shingles whatsoever in this corpus of "
+                              "documents about nothing in particular")])
+    matches = probe_canonical_state(spark, path, old.unionByName(new),
+                                    new, "doc_id", "text")
+    assert matches.count() == 0
+
+
+def test_absorb_batch_labels_and_grows_store_by_unmatched_only(
+        spark, tmp_path):
+    old = _docs(spark, [(i, _BASE + " tail variant common")
+                        for i in range(4)])
+    path = str(tmp_path / "state")
+    build_canonical_state(old, "doc_id", "text", path)
+
+    batch1 = _docs(spark, [
+        (100, _BASE + " tail variant common"),          # matches clique
+        (101, "a brand new document about streaming watermarks and "
+              "stateful session window aggregation semantics in spark"),
+    ])
+    labels1 = absorb_batch(spark, path, old.unionByName(batch1), batch1,
+                           "doc_id", "text")
+    lab = {r["node"]: r["canonical_id"] for r in labels1.collect()}
+    assert lab == {100: 0, 101: 101}
+    # store grew by the unmatched doc only — matched docs never add
+    # signatures (the contraction invariant)
+    store_ids = {r[0] for r in spark.read.parquet(path + "/sigs")
+                 .select("doc_id").distinct().collect()}
+    assert store_ids == {0, 101}
+
+    # a second batch duplicating batch1's NEW canonical matches it
+    batch2 = _docs(spark, [
+        (200, "a brand new document about streaming watermarks and "
+              "stateful session window aggregation semantics in spark")])
+    corpus = old.unionByName(batch1).unionByName(batch2)
+    matches = probe_canonical_state(spark, path, corpus, batch2,
+                                    "doc_id", "text")
+    rows = matches.collect()
+    assert len(rows) == 1 and rows[0]["canonical_id"] == 101
+    # full label table now covers everything absorbed
+    all_lab = {r["node"]: r["canonical_id"]
+               for r in spark.read.parquet(path + "/labels").collect()}
+    assert all_lab[100] == 0 and all_lab[101] == 101
+
+
+def test_probe_candidates_are_cluster_bounded(spark, state):
+    """Plan-level contraction check: the verify input's old side can
+    only contain canonical ids, so the number of verified pairs for a
+    batch of b new docs is <= b * n_canonicals independent of cluster
+    sizes (here: 2 new copies x 3 canonicals bounds it at 6; a
+    member-level verify could produce 12 pairs against the 6-clique
+    alone)."""
+    path, old, report = state
+    new = _docs(spark, [(100, _BASE + " tail variant common"),
+                        (102, _BASE + " tail variant common extra")])
+    matches = probe_canonical_state(spark, path, old.unionByName(new),
+                                    new, "doc_id", "text",
+                                    threshold=0.0)
+    assert matches.count() <= 2 * report["n_canonicals"]
+    canon_side = {r[0] for r in matches.select("canonical_id")
+                  .distinct().collect()}
+    assert canon_side <= {0, 10, 11}
