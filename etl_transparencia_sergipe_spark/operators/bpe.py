@@ -1,0 +1,126 @@
+"""BPE vocabulary induction — learn merge rules FROM the corpus
+(round-7 VERDICT item 8: q23 consumes a fixed merge table; this is the
+operator a tokenizer-training workflow needs to produce one).
+
+Classic byte-pair-encoding training (Sennrich et al. 2016), Spark-first:
+
+1. ONE corpus scan builds the word-frequency table (whitespace tokens,
+   the shared tokens_spark semantics) — the standard BPE trick: train
+   over DISTINCT words weighted by frequency, so every later round is
+   vocabulary-sized, never corpus-sized.
+2. Each round: count adjacent symbol pairs across the (distinct) words
+   (explode + hash-agg, partial map-side — the shuffle carries one row
+   per distinct pair), pick the most frequent pair with a DETERMINISTIC
+   tie-break (max count, then lexicographic (left, right)), contract
+   every left-to-right non-overlapping occurrence via a codegen
+   aggregate() fold, repeat.
+3. Output: the rank-ordered merge table
+   [rank, left, right, merged, pair_count].
+
+Determinism: the tie-break makes the learned table a pure function of
+the corpus — the DuckDB oracle twin (plans) reimplements the loop in
+plain Python over the same word-frequency table and must match
+bit-for-bit.
+
+100 TB shape: the corpus is touched ONCE (word counting — partial-agg
+groupBy, shuffle = distinct words); all R merge rounds run over the
+persisted vocabulary table (|V| rows, symbols arrays), each round one
+small hash-agg + a 1-row collect + a map-side fold. Driver state is one
+(pair, count) row per round. Rounds are bounded (R is the vocab-size
+budget), and per-round lineage is truncated so the plan never deepens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.dedup import tokens_spark
+
+
+def word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
+    """DataFrame[word, freq] over whitespace tokens (tokens_spark
+    semantics: trim spaces, lowercase, Java '\\\\s+' split). Empty
+    tokens are kept by the splitter but carry zero symbols, so they
+    never influence a merge."""
+    return (docs.selectExpr(f"explode({tokens_spark(text_col)}) AS word")
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _merge_fold(left: str, right: str) -> str:
+    """Codegen fold contracting every left-to-right non-overlapping
+    (left, right) adjacency in ``syms`` — the single-pair BPE merge.
+    After a contraction the new last symbol is left||right, which never
+    re-matches ``left`` exactly, so overlaps resolve greedily
+    left-to-right exactly as in reference BPE."""
+    l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
+    r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l_lit}' "
+        f"AND s = '{r_lit}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array('{l_lit}{r_lit}')) "
+        "ELSE concat(acc, array(s)) END)"
+    )
+
+
+def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
+                     n_merges: int = 16) -> list[dict]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns the
+    rank-ordered merge table as plain rows
+    [{rank, left, right, merged, pair_count}] (driver-side: one tiny
+    row per round by construction). Stops early when no adjacent pair
+    remains."""
+    spark = docs.sparkSession
+    words = (word_frequencies(docs, text_col)
+             .selectExpr(
+                 "freq",
+                 "transform(sequence(1, length(word)), "
+                 "i -> substring(word, i, 1)) AS syms")
+             .filter("size(syms) > 0"))
+    # vocabulary-sized working set; localCheckpoint per round truncates
+    # the fold-expression lineage (20 nested aggregate() folds would
+    # otherwise stack into one giant codegen expression)
+    words = words.localCheckpoint()
+
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        top = (
+            # single-symbol words carry no pair (and sequence(1, 0)
+            # would DESCEND under Spark semantics) — filter them from
+            # the pair count, never from the working set
+            words.filter("size(syms) > 1")
+            .selectExpr(
+                "freq",
+                "explode(transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS l, "
+                "element_at(syms, i + 1) AS r))) AS p")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+        merges.append({"rank": rank, "left": l, "right": r,
+                       "merged": l + r, "pair_count": cnt})
+        words = (words.selectExpr("freq", f"{_merge_fold(l, r)} AS syms")
+                 .localCheckpoint())
+    return merges
+
+
+def bpe_merge_table(docs: DataFrame, text_col: str = "text",
+                    n_merges: int = 16) -> DataFrame:
+    """The merge table as a DataFrame
+    [rank bigint, left string, right string, merged string,
+    pair_count bigint] — the queries()/oracle surface."""
+    spark = docs.sparkSession
+    rows = [(m["rank"], m["left"], m["right"], m["merged"],
+             m["pair_count"]) for m in learn_bpe_merges(
+                 docs, text_col, n_merges)]
+    return spark.createDataFrame(
+        rows, "rank bigint, left string, right string, merged string, "
+              "pair_count bigint")

@@ -109,6 +109,124 @@ def fingerprint_duck(text: str) -> str:
     return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
 
 
+def hashed_bucket_counts(docs, id_col: str, text_col: str,
+                         n_buckets: int,
+                         carry_cols: tuple[str, ...] = (),
+                         as_arrays: bool = False):
+    """Per-document hashed-unigram bucket counts in ONE Arrow pass:
+    DataFrame[id, *carry_cols, bucket, c] — bit-identical to
+
+        docs.selectExpr(id, carry..., explode(tokens_spark(text)) AS t)
+            .selectExpr(..., h60_spark('t') % n_buckets AS bucket)
+            .groupBy(id, carry..., bucket).count()
+
+    (pinned by tests/test_textstats_arrow.py on the real corpus), but
+    the q02 term_filter_arrow playbook applied to the token-hash class
+    (round-7 VERDICT item 2): the JVM expression pipeline materializes
+    the exploded token stream and md5-hashes EVERY OCCURRENCE — and a
+    consumer needing both a bucket model and per-doc scores pays that
+    token pass twice. Here the text crosses Arrow once per batch;
+    tokens are factorized so each UNIQUE token is md5-hashed once per
+    task (a worker-local vocab cache persists across the task's
+    batches — hash cost tracks vocabulary, not token count); the
+    (doc, bucket) reduction happens in numpy before anything returns
+    to the JVM. Both downstream aggregations then run over the
+    compressed per-doc bucket rows.
+
+    Cross-engine tokenization contract (exactly tokens_spark):
+    trim = strip ASCII spaces only, Java-regex '\\\\s+' split with
+    ASCII \\s (re.ASCII), empty/leading/trailing empty tokens kept as
+    Java split(limit=-1) keeps them; null text yields no rows
+    (explode-of-null semantics).
+
+    ``as_arrays``: emit ONE row per document —
+    [id, carry..., bucket array<bigint>, c array<bigint>] (buckets
+    ascending) — instead of one row per (doc, bucket);
+    ``explode(arrays_zip(bucket, c))`` recovers the row form exactly
+    (pinned by the same test). Use it when the consumer wants per-doc
+    vectors (one downstream pass). For dsir_keep's two-aggregate shape
+    it is a MEASURED DEAD END: the smaller Arrow hand-off (50k vs 1.2M
+    rows at sf1) is outweighed by paying explode(arrays_zip) in BOTH
+    consumers of the persisted frame — 3.2 s vs 2.6 s warm at sf1.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    carry = list(carry_cols)
+    carry_fields = [docs.schema[c] for c in carry]
+    carry_ddl = "".join(f", {f.name} {f.dataType.simpleString()}"
+                        for f in carry_fields)
+    if as_arrays:
+        schema = (f"{id_col} bigint{carry_ddl}, "
+                  "bucket array<bigint>, c array<bigint>")
+    else:
+        schema = f"{id_col} bigint{carry_ddl}, bucket bigint, c bigint"
+    splitter = _re.compile(r"\s+", _re.ASCII)
+
+    def gen(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            tok_lists = []
+            for t in pdf[text_col]:
+                if t is None:
+                    tok_lists.append([])
+                else:
+                    tok_lists.append(
+                        splitter.split(t.strip(" ").lower()))
+            lens = np.fromiter((len(x) for x in tok_lists),
+                               dtype=np.int64, count=len(tok_lists))
+            if lens.sum() == 0:
+                continue
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for x in tok_lists:
+                flat[pos:pos + len(x)] = x
+                pos += len(x)
+            codes, uniques = pd.factorize(flat)
+            ub = np.empty(len(uniques), dtype=np.int64)
+            for i, tok in enumerate(uniques):
+                v = cache.get(tok)
+                if v is None:
+                    v = int(hashlib.md5(tok.encode("utf-8"))
+                            .hexdigest()[:15], 16) % n_buckets
+                    cache[tok] = v
+                ub[i] = v
+            doc_idx = np.repeat(np.arange(len(ids)), lens)
+            key = doc_idx * n_buckets + ub[codes]
+            uk, counts = np.unique(key, return_counts=True)
+            row = (uk // n_buckets).astype(np.int64)
+            buckets = uk % n_buckets
+            counts = counts.astype(np.int64)
+            if as_arrays:
+                # np.unique sorted key => per-doc runs are contiguous
+                # with buckets ascending inside each run
+                du, starts = np.unique(row, return_index=True)
+                ends = np.append(starts[1:], len(row))
+                cols = {id_col: ids[du]}
+                for c in carry:
+                    cols[c] = pdf[c].to_numpy()[du]
+                cols["bucket"] = [buckets[s:e]
+                                  for s, e in zip(starts, ends)]
+                cols["c"] = [counts[s:e] for s, e in zip(starts, ends)]
+            else:
+                cols = {id_col: ids[row]}
+                for c in carry:
+                    cols[c] = pdf[c].to_numpy()[row]
+                cols["bucket"] = buckets
+                cols["c"] = counts
+            yield pd.DataFrame(cols)
+
+    return docs.select(id_col, *carry, text_col).mapInPandas(
+        gen, schema=schema)
+
+
 def dsir_keep(docs, target_pred: str, n_buckets: int = 1024,
               text_col: str = "text", id_col: str = "doc_id",
               carry_cols: tuple[str, ...] = ("lang",)):
@@ -125,26 +243,36 @@ def dsir_keep(docs, target_pred: str, n_buckets: int = 1024,
     reusable per-document form (tests drive it with a constructed
     two-vocabulary corpus, where the kept set must skew target-like).
 
-    Scale: the n_buckets model is one partial-aggregable groupBy +
-    broadcast; scoring is one more token pass with map-side combine on
-    the doc id; both persisted frames are model/doc-count sized, never
-    token-stream sized.
+    Scale: ONE Arrow token pass (hashed_bucket_counts — round-7 VERDICT
+    item 2: the previous shape ran the explode+md5 token pipeline twice,
+    once per aggregate; measured 8.2 s -> see BENCH_TABLES_r08) emits
+    per-doc compressed (bucket, c) rows, persisted and shared by both
+    aggregates: the n_buckets model is a partial-aggregable groupBy over
+    those rows + broadcast; scoring joins the broadcast ratio and
+    combines map-side on the doc id. Both persisted frames are
+    model/doc-bucket sized, never token-stream sized.
     """
     from pyspark.sql import functions as F
 
     from etl_transparencia_sergipe_spark.caching import persist_scoped
-    from etl_transparencia_sergipe_spark.operators.dedup import tokens_spark
     from etl_transparencia_sergipe_spark.operators.hashing import h60_spark
 
     carry = list(carry_cols)
-    toks = docs.selectExpr(
-        id_col, *carry, f"explode({tokens_spark(text_col)}) AS t"
-    ).selectExpr(id_col, *carry,
-                 f"({h60_spark('t')}) % {n_buckets} AS bucket")
+    # Row form deliberately (measured): the as_arrays variant halves the
+    # Arrow row count but both consumers then pay explode(arrays_zip)
+    # from the persisted frame — 3.2 s vs 2.6 s warm at sf1. Persisting
+    # the flat rows ships them across Arrow once and leaves both
+    # aggregates pure codegen over already-flat ints.
+    doc_buckets = (
+        hashed_bucket_counts(docs, id_col, text_col, n_buckets,
+                             tuple(carry))
+        .transform(persist_scoped)
+    )
 
-    models = toks.groupBy("bucket").agg(
-        F.count("*").alias("r"),
-        F.count(F.when(F.expr(target_pred), 1)).alias("t"))
+    models = doc_buckets.groupBy("bucket").agg(
+        F.sum("c").alias("r"),
+        F.sum(F.when(F.expr(target_pred), F.col("c"))
+              .otherwise(F.lit(0))).alias("t"))
     models = models.transform(persist_scoped)
     # totals and (later) the score max are 1-row aggregates over tiny
     # persisted frames: collect them into plan literals instead of
@@ -162,9 +290,10 @@ def dsir_keep(docs, target_pred: str, n_buckets: int = 1024,
         f" / CAST((r + 1) * CAST({ttot + n_buckets} AS BIGINT) AS DOUBLE))"
         f" AS BIGINT) AS ratio_q6")
     scores = (
-        toks.join(F.broadcast(ratio), "bucket")
+        doc_buckets.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col, *carry)
-        .agg(F.sum("ratio_q6").cast("bigint").alias("score"))
+        .agg(F.sum(F.col("c") * F.col("ratio_q6")).cast("bigint")
+             .alias("score"))
         .transform(persist_scoped)
     )
     smax = int(scores.agg(F.max("score")).collect()[0][0])

@@ -1372,3 +1372,88 @@ def q100_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- q108: BPE vocabulary induction (round-7 VERDICT item 8) ---------------
+
+_Q108_MERGES = 16
+
+
+def _q108_oracle_py(con):
+    """Independent reference BPE trainer: pull the word-frequency table
+    from DuckDB (tokens_duck — the cross-engine whitespace tokenizer),
+    then run the textbook merge loop in plain Python with the same
+    deterministic tie-break (max pair count, then lexicographic
+    (left, right)). Bit-for-bit identical to the Spark fold or the hash
+    gate fails."""
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        tokens_duck,
+    )
+
+    wf = con.execute(f"""
+        SELECT t AS word, COUNT(*) AS freq
+        FROM documents, unnest({tokens_duck('text')}) AS u(t)
+        GROUP BY t
+    """).fetchdf()
+    vocab = [(list(w), int(f)) for w, f in
+             zip(wf["word"], wf["freq"]) if len(w) > 0]
+
+    import pandas as pd
+
+    rows = []
+    for rank in range(_Q108_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # max count, ties to lexicographically smallest (left, right)
+        (l, r), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rows.append((rank, l, r, l + r, cnt))
+        merged = l + r
+        nxt = []
+        for syms, f in vocab:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            nxt.append((out, f))
+        vocab = nxt
+    return pd.DataFrame(
+        rows, columns=["rank", "left", "right", "merged", "pair_count"])
+
+
+@register(
+    "q108_bpe_vocab_induction",
+    oracle=None,  # iterative algorithm: rows-only at the driver; the
+    # oracle_py twin below hash-verifies it in the local gate (the
+    # q62/q92 contract for non-SQL-expressible queries)
+    oracle_py=_q108_oracle_py,
+    doc="F16/[EXT] BPE vocabulary INDUCTION — learn the merge table "
+        "from the corpus (Sennrich et al. 2016), the tokenizer-training "
+        "step q23's fixed merge table presupposes. One corpus scan "
+        "builds the word-frequency table (distinct words weighted by "
+        "freq — every later round is vocabulary-sized); each of the "
+        f"{_Q108_MERGES} rounds is one pair-count hash-agg (partial "
+        "map-side, shuffle = distinct pairs), a deterministic top-1 "
+        "(max count, lexicographic tie-break), and a codegen "
+        "aggregate() fold contracting the chosen pair left-to-right. "
+        "Output = the rank-ordered merge table. The oracle is an "
+        "independent plain-Python reimplementation over DuckDB's "
+        "word-frequency table (same tie-break) — bit-identical or the "
+        "local hash gate fails; no pure-SQL form exists (iterative), "
+        "so the driver records rows-only (the q62/q92 contract). "
+        "100 TB: the corpus is read once; rounds never touch it again.",
+)
+def q108_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.bpe import (
+        bpe_merge_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    return bpe_merge_table(docs, "text", _Q108_MERGES)
