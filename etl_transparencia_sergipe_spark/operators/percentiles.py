@@ -89,30 +89,35 @@ def _interp_agg(p: float, value: str, extra=None):
             .otherwise(s_w_lo * v_lo + s_w_hi * F.coalesce(v_hi, v_lo)))
 
 
-def exact_percentiles(df: DataFrame, keys: list[str], value: str,
-                      ps: list[float],
-                      out_cols: list[str] | None = None) -> DataFrame:
-    """DataFrame[keys..., <out_col per p>] with percentile_cont values.
-
-    Nulls in ``value`` are ignored (F.percentile semantics). ``ps`` must
-    be in [0, 1); p=1.0 would need a rank clamp this keeps out of the
-    hot expression.
-    """
-    if out_cols is None:
-        out_cols = [f"p{int(p * 100)}" for p in ps]
-    # percentile operates on doubles (F.percentile coerces internally);
-    # grouping on the double cast keeps the distinct set identical to
-    # what the buffered aggregate would see
-    dist = (
+def value_distribution(df: DataFrame, keys: list[str],
+                       value: str) -> DataFrame:
+    """The compressed (value, count) distribution:
+    DataFrame[keys..., _v double, _cnt long]. One partial-aggregated
+    exchange carrying one row per DISTINCT value; every exact-order-
+    statistic consumer (percentiles, IQR fences, outlier counts) can
+    share ONE of these instead of rescanning the fact table. Nulls in
+    ``value`` are ignored (F.percentile semantics); grouping on the
+    double cast keeps the distinct set identical to what the buffered
+    aggregate would see."""
+    return (
         df.filter(F.col(value).isNotNull())
         .select(*keys, F.col(value).cast("double").alias("_v"))
         .groupBy(*keys, "_v")
         .agg(F.count("*").alias("_cnt"))
     )
-    value = "_v"
-    wo = W.partitionBy(*keys).orderBy(value)
+
+
+def percentiles_from_distribution(dist: DataFrame, keys: list[str],
+                                  ps: list[float],
+                                  out_cols: list[str]) -> DataFrame:
+    """percentile_cont over an existing :func:`value_distribution`
+    frame — the reusable second half of :func:`exact_percentiles`, so a
+    caller that also aggregates over the distribution (q56's outlier
+    counts) pays the fact-table scan and the distribution exchange
+    exactly once."""
+    wo = W.partitionBy(*keys).orderBy("_v")
     wa = W.partitionBy(*keys)
-    dist = (
+    annotated = (
         dist.withColumn("_cum", F.sum("_cnt").over(wo))
         .withColumn("_n", F.sum("_cnt").over(wa))
     )
@@ -124,6 +129,21 @@ def exact_percentiles(df: DataFrame, keys: list[str], value: str,
     # algebraically-equal `lo + (hi-lo)*frac` form differs in the last
     # ulp and flips cross-engine hashes (caught by
     # tests/test_percentiles.py's bit-identical assertion).
-    aggs = [_interp_agg(p, value).alias(out)
+    aggs = [_interp_agg(p, "_v").alias(out)
             for p, out in zip(ps, out_cols)]
-    return dist.groupBy(*keys).agg(*aggs)
+    return annotated.groupBy(*keys).agg(*aggs)
+
+
+def exact_percentiles(df: DataFrame, keys: list[str], value: str,
+                      ps: list[float],
+                      out_cols: list[str] | None = None) -> DataFrame:
+    """DataFrame[keys..., <out_col per p>] with percentile_cont values.
+
+    Nulls in ``value`` are ignored (F.percentile semantics). ``ps`` must
+    be in [0, 1); p=1.0 would need a rank clamp this keeps out of the
+    hot expression.
+    """
+    if out_cols is None:
+        out_cols = [f"p{int(p * 100)}" for p in ps]
+    dist = value_distribution(df, keys, value)
+    return percentiles_from_distribution(dist, keys, ps, out_cols)

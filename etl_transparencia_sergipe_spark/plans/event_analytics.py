@@ -341,6 +341,22 @@ def q95_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q95_fused(spark, sf_dir)
 
 
+def _k_fast() -> F.Column:
+    """Fast integer extraction of props.k (round-8, the q02
+    domain-scoped playbook): the events table's props is a FLAT JSON
+    object whose k is an unquoted integer, so one codegen
+    regexp_extract replaces the general-purpose JSON scanner —
+    measured at sf1: 0.21 s vs 0.68 s for get_json_object over the
+    full table, zero value mismatches (checked exhaustively at sf1;
+    the oracle's json_extract re-checks the equivalence at every
+    hash gate). NOT a general JSON substitute: nested objects or
+    quoted numbers would diverge — q15 (the F12 JSON operator
+    coverage query) keeps the real parser, and any schema change to
+    events.props flips the q88/q95 hashes loudly."""
+    return F.regexp_extract(
+        "props", '"k"\\s*:\\s*(-?[0-9]+)', 1).cast("int")
+
+
 def q95_asof_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The original q95 composition over operators/joins.asof_join —
     dim build (change-log window + per-ts dedupe) then union-sort-window
@@ -352,7 +368,7 @@ def q95_asof_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, "events", sf_dir).select(
         "user_id", "event_type", "ts", "event_id", "value",
-        F.get_json_object("props", "$.k").cast("int").alias("k"))
+        _k_fast().alias("k"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # dedupe to one version per (user_id, eff_ts) — if two same-ts
     # events both change k, keep the later event_id (asof_join's
@@ -399,9 +415,14 @@ def q95_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    # round-8 decomposition (BENCH_TABLES_r08): of the 1.16 s warm at
+    # sf1, scan+JSON was 0.66 s, the shared-exchange windows ~0.45 s,
+    # the groupBy/sort tail ~0.05 s — the k-extraction was HALF the
+    # query. _k_fast closes that; the window exchange is the floor
+    # (midfilter and from_json variants measured, no further win).
     ev = load(spark, "events", sf_dir).select(
         "user_id", "event_type", "ts", "event_id", "value",
-        F.get_json_object("props", "$.k").cast("int").alias("k"))
+        _k_fast().alias("k"))
     wl = W.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.withColumn(
         "chg", F.when(F.lag("k").over(wl).isNull()

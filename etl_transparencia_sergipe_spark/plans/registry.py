@@ -169,6 +169,25 @@ _LOADED = False
 # is better spent certifying the new query; q30 stays hash-verified
 # in the local gate, and exact dedup keeps q76/q84 in-window).
 #
+# Round-8 rotation (r7 VERDICT item 5): q106 leaves — it earned its
+# driver rows-only row in r07 and stays hash-verified against its
+# literal-constant twin in the local gate (the q63/q98/q99/q101/q103
+# precedent). Entering: q107 (canonical-contraction dedup, shipped this
+# round, FULL SQL oracle -> hash row), q108 (BPE vocabulary induction,
+# shipped this round — iterative, no pure-SQL form, rows-only at the
+# driver with the oracle_py twin hash-verified locally at three
+# scales), and q56 (implementation changed this round: outlier counts
+# fused onto the shared value distribution — the driver must certify
+# the change; it was displaced in r4 as a double-certified stalwart).
+# Displaced besides q106: q40 and q45 (driver-green hash rows in r06
+# AND r07, implementations unchanged; the ANN family keeps
+# q42/q44/q46/q107-adjacent sim coverage in-window and both stay
+# hash-verified in the local gate every round). Also re-certified in
+# place this round (already in-window, implementations changed): q104
+# (Arrow-vectorized token pass), q95 (fast k extraction), q81 (probe
+# broadcast gating). Rows-only population stays at the mandated <=2:
+# q92 + q108.
+#
 # Round-7 rotation (r6 VERDICT item 6): q103 leaves — it earned its
 # driver rows-only row in r06 and stays hash-verified against its
 # literal-constant twin in the local gate every round (the
@@ -190,10 +209,10 @@ HEADLINE_50: tuple[str, ...] = (
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
     "q35_levenshtein_neardup",
     "q38_dedup_clusters", "q39_curation_keep_canonical",
-    "q40_knn_bruteforce",
+    "q107_canonical_dedup",
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
-    "q45_lsh_multiprobe", "q46_ivf_ann_topk",
-    "q106_incremental_ann_index",
+    "q108_bpe_vocab_induction", "q46_ivf_ann_topk",
+    "q56_iqr_outliers",
     "q91_media_ahash_neardup", "q92_rolling_active_hll",
     "q50_tumbling_window", "q100_bm25_topk", "q52_session_windows",
     "q57_pack_chunks",
