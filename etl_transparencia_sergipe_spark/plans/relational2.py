@@ -52,7 +52,14 @@ def q18_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct-value exchange that a single-node radix select "
         "never pays — accepted as the class cost; q56 (same class) "
         "was closed this round by fusing its consumer onto the "
-        "distribution, the one real redundancy the class had.",
+        "distribution, the one real redundancy the class had. The "
+        "single-task-per-group window ceiling itself is ALSO closed: "
+        "percentiles_bucketed (operators/percentiles.py) brackets the "
+        "target ranks through a bounded bucket histogram so no task "
+        "ever sorts more than distinct/n_buckets rows — bit-identical "
+        "(test-pinned), registered OFF here because at bench scale it "
+        "pays a persist + four extra stages (2.5 s vs 1.7 s) for a "
+        "bound the data does not yet need.",
 )
 def q19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution-compressed exact percentiles (operators/percentiles):

@@ -55,3 +55,38 @@ def test_single_value_group(spark):
     df = spark.createDataFrame([("x", 42.0)], "g string, v double")
     out = exact_percentiles(df, ["g"], "v", [0.5], ["med"]).collect()
     assert out[0]["med"] == 42.0
+
+
+def test_bucketed_is_bit_identical_to_windowed(spark):
+    """percentiles_bucketed (the bounded-per-task scale variant) ==
+    the windowed formulation == F.percentile, on lineitem and on an
+    adversarial frame (all-equal group -> degenerate bucket 0; values
+    straddling bucket edges; rank exactly at a bucket boundary)."""
+    from etl_transparencia_sergipe_spark.operators.percentiles import (
+        exact_percentiles_stacked,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    specs = [("l_quantity", [0.5], ["median_qty"]),
+             ("l_extendedprice", [0.25, 0.75, 0.99],
+              ["p25", "p75", "p99"])]
+    a = sorted(map(tuple, exact_percentiles_stacked(
+        li, ["l_returnflag"], specs, bucketed=False).collect()))
+    b = sorted(map(tuple, exact_percentiles_stacked(
+        li, ["l_returnflag"], specs, bucketed=True).collect()))
+    spark.catalog.clearCache()
+    assert a == b
+
+    df = spark.createDataFrame(
+        [("flat", 7.0)] * 5
+        + [("edge", float(i)) for i in range(1, 9)]
+        + [("two", 1.0), ("two", 2.0)],
+        "g string, v double")
+    specs = [("v", [0.0, 0.25, 0.5, 0.875], ["q0", "q1", "q2", "q3"])]
+    a = sorted(map(tuple, exact_percentiles_stacked(
+        df, ["g"], specs, bucketed=False).collect()))
+    # tiny bucket count forces multi-value buckets + boundary hits
+    b = sorted(map(tuple, exact_percentiles_stacked(
+        df, ["g"], specs, bucketed=True, n_buckets=4).collect()))
+    spark.catalog.clearCache()
+    assert a == b
