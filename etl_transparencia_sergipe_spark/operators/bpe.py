@@ -52,7 +52,16 @@ def _merge_fold(left: str, right: str) -> str:
     (left, right) adjacency in ``syms`` — the single-pair BPE merge.
     After a contraction the new last symbol is left||right, which never
     re-matches ``left`` exactly, so overlaps resolve greedily
-    left-to-right exactly as in reference BPE."""
+    left-to-right exactly as in reference BPE.
+
+    Pair as LITERALS deliberately (two alternatives measured at sf1):
+    a broadcast 1-row (_l, _r) frame makes every round's generated code
+    identical but its per-round broadcast-build job DOUBLES the wall
+    (5.3 s -> 10.9 s); lazy localCheckpoint + coalesce(1) changed
+    nothing. The ~0.3 s/round that remains is the driver-synchronized
+    Spark job floor (R sequential top-1 collects by construction) —
+    see the q108 note in BENCH_TABLES_r08.
+    """
     l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
     r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
     return (
@@ -78,11 +87,19 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
                  "freq",
                  "transform(sequence(1, length(word)), "
                  "i -> substring(word, i, 1)) AS syms")
-             .filter("size(syms) > 0"))
-    # vocabulary-sized working set; localCheckpoint per round truncates
-    # the fold-expression lineage (20 nested aggregate() folds would
-    # otherwise stack into one giant codegen expression)
-    words = words.localCheckpoint()
+             .filter("size(syms) > 0")
+             # the working set is vocabulary-sized from here on — one
+             # partition kills per-round task-scheduling overhead
+             # (measured at sf1: 5.3 s -> see BENCH_TABLES_r08); at a
+             # genuinely huge vocabulary raise this to taste, the
+             # algorithm is partition-agnostic
+             .coalesce(1))
+    # localCheckpoint per round truncates the fold-expression lineage
+    # (16 nested aggregate() folds would otherwise stack into one giant
+    # codegen expression). LAZY: the next round's top-1 collect is the
+    # materializing action, so each round runs ONE job instead of
+    # checkpoint-then-count
+    words = words.localCheckpoint(eager=False)
 
     merges: list[dict] = []
     for rank in range(n_merges):
@@ -108,7 +125,7 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
         merges.append({"rank": rank, "left": l, "right": r,
                        "merged": l + r, "pair_count": cnt})
         words = (words.selectExpr("freq", f"{_merge_fold(l, r)} AS syms")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return merges
 
 

@@ -67,9 +67,14 @@ def _sigs_path(path: str) -> str:
     return path.rstrip("/") + "/sigs"
 
 
+def _texts_path(path: str) -> str:
+    return path.rstrip("/") + "/texts"
+
+
 def build_canonical_state(docs_old: DataFrame, id_col: str, text_col: str,
                           path: str, k: int = 16, bands: int = 4,
-                          n: int = 3, threshold: float = 0.4) -> dict:
+                          n: int = 3, threshold: float = 0.4,
+                          base_epoch: int | None = None) -> dict:
     """Cluster the OLD corpus once and persist the contraction state.
 
     1. near-dup pairs (banded MinHash LSH + exact verify — the q31
@@ -82,6 +87,17 @@ def build_canonical_state(docs_old: DataFrame, id_col: str, text_col: str,
     The full text scan happens HERE, once; every later batch probe
     reads the canonical band index + the candidate canonicals' text.
     Returns {"n_docs", "n_canonicals"}.
+
+    ``base_epoch`` selects the STREAMING layout (the ann_index
+    base_epoch contract): labels, signatures, and — additionally — the
+    canonical docs' TEXT are written under
+    ``ingest_batch=<base_epoch>`` partitions, so the ingest sink
+    (streaming/canonical_stream.py) can (a) probe/relabel against
+    partitions strictly below its epoch (replay determinism) and
+    (b) dynamic-overwrite its own epoch partition on replay. The texts
+    table exists only in this layout: it makes the state self-
+    contained — the exact verify reads candidate canonicals' text from
+    the state, never rescanning the corpus.
     """
     spark = docs_old.sparkSession
     pairs = minhash_lsh_pairs(docs_old, id_col, text_col, k=k,
@@ -92,14 +108,39 @@ def build_canonical_state(docs_old: DataFrame, id_col: str, text_col: str,
                .withColumn("component", F.col("node")))
     labels = (cc.unionByName(singles)
               .withColumnRenamed("component", "canonical_id"))
-    labels.write.mode("overwrite").parquet(_labels_path(path))
+    if base_epoch is None:
+        labels.write.mode("overwrite").parquet(_labels_path(path))
+    else:
+        (labels.withColumn("ingest_batch", F.lit(int(base_epoch)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .parquet(_labels_path(path)))
 
     labels = spark.read.parquet(_labels_path(path))
     canon_ids = (labels.select(F.col("canonical_id").alias(id_col))
                  .distinct())
     canon_docs = docs_old.join(canon_ids, id_col, "left_semi")
-    build_signature_store(canon_docs, id_col, text_col, _sigs_path(path),
-                          k=k, n=n, bands=bands)
+    if base_epoch is None:
+        build_signature_store(canon_docs, id_col, text_col,
+                              _sigs_path(path), k=k, n=n, bands=bands)
+    else:
+        from etl_transparencia_sergipe_spark.operators.dedup import (
+            minhash_signatures,
+        )
+        from etl_transparencia_sergipe_spark.operators.sigstore import (
+            banded_signatures,
+            write_banded_store,
+        )
+
+        sig = minhash_signatures(canon_docs, id_col, text_col, k=k, n=n)
+        write_banded_store(
+            banded_signatures(sig, k, bands)
+            .withColumn("ingest_batch", F.lit(int(base_epoch))),
+            _sigs_path(path), partition_by=["ingest_batch"])
+        (canon_docs.select(F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("text"))
+         .withColumn("ingest_batch", F.lit(int(base_epoch)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .parquet(_texts_path(path)))
     return {"n_docs": int(labels.count()),
             "n_canonicals": int(canon_ids.count())}
 
@@ -108,7 +149,8 @@ def probe_canonical_state(spark: SparkSession, path: str,
                           docs_all: DataFrame, new_docs: DataFrame,
                           id_col: str, text_col: str, k: int = 16,
                           bands: int = 4, n: int = 3,
-                          threshold: float = 0.4) -> DataFrame:
+                          threshold: float = 0.4,
+                          ingest_batch_lt: int | None = None) -> DataFrame:
     """Verify a NEW batch against one canonical per cluster.
 
     Returns DataFrame[new_id, canonical_id, jaccard] — one row per
@@ -119,12 +161,16 @@ def probe_canonical_state(spark: SparkSession, path: str,
 
     ``docs_all`` supplies candidate text for the exact verify (both the
     new docs and the canonical docs must be rows of it — for the
-    registered query it is simply the documents table; in production it
-    is the canonical text table plus the batch).
+    registered query it is simply the documents table; the streaming
+    sink passes the state's own texts table plus the batch).
+    ``ingest_batch_lt`` restricts an epoch-partitioned canonical store
+    to partitions strictly below the given epoch (replay determinism —
+    the probe_signature_store contract).
     """
     cand = (
         probe_signature_store(spark, _sigs_path(path), new_docs,
-                              id_col, text_col, k=k, bands=bands, n=n)
+                              id_col, text_col, k=k, bands=bands, n=n,
+                              ingest_batch_lt=ingest_batch_lt)
         # all band collisions are candidates; scoring is the EXACT
         # verify below, not the minhash n_agree estimate
         .selectExpr("old_id AS id_a", "new_id AS id_b")
@@ -139,16 +185,30 @@ def probe_canonical_state(spark: SparkSession, path: str,
 def absorb_batch(spark: SparkSession, path: str, docs_all: DataFrame,
                  new_docs: DataFrame, id_col: str, text_col: str,
                  k: int = 16, bands: int = 4, n: int = 3,
-                 threshold: float = 0.4) -> DataFrame:
+                 threshold: float = 0.4,
+                 epoch: int | None = None,
+                 matches: DataFrame | None = None) -> DataFrame:
     """Probe, then fold the batch into the state — the production loop.
 
     Matched new docs adopt their best-match cluster's canonical (max
     jaccard, ties to the smallest canonical id — deterministic);
     unmatched new docs become their own canonicals: their labels row
-    points at themselves and their signatures APPEND to the canonical
-    store so later batches can match them. Matched docs' signatures are
-    NOT appended — that is the contraction invariant (one signature set
-    per cluster, forever).
+    points at themselves and their signatures (and, in the streaming
+    layout, their text) enter the canonical store so later batches can
+    match them. Matched docs' signatures are NOT appended — that is
+    the contraction invariant (one signature set per cluster, forever).
+
+    ``epoch`` (streaming layout, build_canonical_state(base_epoch=...)):
+    the probe reads only state partitions < epoch, and every write is a
+    DYNAMIC OVERWRITE of the batch's own ``ingest_batch=<epoch>``
+    partition — a replayed epoch converges bit-identically instead of
+    appending duplicates (the sigstore_stream contract). Without it the
+    writes are plain appends (the single-driver batch loop).
+
+    ``matches``: a caller that already probed (the streaming sink
+    persists one probe and shares it between the matches table and the
+    absorb) passes the [new_id, canonical_id, jaccard] frame in; None
+    probes here.
 
     Returns the batch's new labels [node, canonical_id].
     """
@@ -160,9 +220,11 @@ def absorb_batch(spark: SparkSession, path: str, docs_all: DataFrame,
         write_banded_store,
     )
 
-    matches = probe_canonical_state(spark, path, docs_all, new_docs,
-                                    id_col, text_col, k=k, bands=bands,
-                                    n=n, threshold=threshold)
+    if matches is None:
+        matches = probe_canonical_state(
+            spark, path, docs_all, new_docs, id_col, text_col, k=k,
+            bands=bands, n=n, threshold=threshold,
+            ingest_batch_lt=None if epoch is None else int(epoch))
     best = (matches
             .withColumn("_r", F.row_number().over(
                 W.partitionBy("new_id")
@@ -173,12 +235,30 @@ def absorb_batch(spark: SparkSession, path: str, docs_all: DataFrame,
                  .join(best, "node", "left_anti")
                  .withColumn("canonical_id", F.col("node")))
     new_labels = best.unionByName(unmatched)
-    new_labels.write.mode("append").parquet(_labels_path(path))
-
     fresh_canon = new_docs.join(
         unmatched.selectExpr(f"node AS {id_col}"), id_col, "left_semi")
     sig = minhash_signatures(fresh_canon, id_col, text_col, k=k, n=n)
-    write_banded_store(banded_signatures(sig, k, bands),
-                       _sigs_path(path), mode="append", n_files=1)
-    return spark.read.parquet(_labels_path(path)).join(
-        new_docs.selectExpr(f"{id_col} AS node"), "node", "left_semi")
+    banded = banded_signatures(sig, k, bands)
+
+    if epoch is None:
+        new_labels.write.mode("append").parquet(_labels_path(path))
+        write_banded_store(banded, _sigs_path(path), mode="append",
+                           n_files=1)
+    else:
+        (new_labels.withColumn("ingest_batch", F.lit(int(epoch)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch").parquet(_labels_path(path)))
+        write_banded_store(
+            banded.withColumn("ingest_batch", F.lit(int(epoch))),
+            _sigs_path(path), partition_by=["ingest_batch"], n_files=1)
+        (fresh_canon.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+         .withColumn("ingest_batch", F.lit(int(epoch)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch").parquet(_texts_path(path)))
+    return (spark.read.parquet(_labels_path(path))
+            .select("node", "canonical_id")
+            .join(new_docs.selectExpr(f"{id_col} AS node"), "node",
+                  "left_semi"))

@@ -1,0 +1,138 @@
+"""Streaming canonical-contraction dedup — the round-8 contraction
+state (operators/canonical.py) maintained by a Structured Streaming
+ingest loop.
+
+streaming/sigstore_stream.py probes arriving batches against the
+ALL-MEMBERS signature store: per-batch cost is O(batch) work but the
+flagged-pair stream (and any exact verify built on it) tracks cluster
+MEMBERSHIP — on duplicate-dense corpora that is the quadratic the
+canonical contraction deletes. This sink runs the contracted loop
+24/7:
+
+    documents file stream
+        -> foreachBatch:
+             1. probe the micro-batch against CANONICAL signatures from
+                state partitions strictly below this epoch (one
+                candidate per (new doc, colliding cluster) — never per
+                member); exact-Jaccard verify reads candidate
+                canonicals' text from the state's own texts table, so
+                the historical corpus is NEVER rescanned;
+             2. write the verified matches under batch_id=<epoch>
+                (dynamic partition overwrite — replay rewrites, never
+                duplicates);
+             3. absorb: matched docs adopt their best cluster's label,
+                unmatched docs become new canonicals — labels,
+                signatures, and text land in the batch's own
+                ingest_batch=<epoch> partitions with the same dynamic
+                overwrite discipline.
+
+Replay determinism: every read the epoch depends on is partition-
+filtered to < epoch (immutable by the time a replay runs), and every
+write is an overwrite of the epoch's own partitions — a crashed and
+replayed epoch converges bit-identically (the sigstore_stream
+contract; tests/test_canonical_stream.py pins it).
+
+Cross-batch-only contract (shared with sigstore_stream): duplicates
+WITHIN one micro-batch each become canonicals — intra-batch dedup is
+the batch operator's job (q31/q38) or a smaller trigger's. At 100 TB
+per-batch cost is O(batch) signatures + O(batch true cluster matches)
+verify; state grows only by NEW-content canonicals, so the probe
+surface tracks content diversity, not corpus size — strictly smaller
+than the all-members store, and the gap widens exactly where dedup
+matters (duplicate-heavy streams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.canonical import (
+    _texts_path,
+    absorb_batch,
+    probe_canonical_state,
+)
+from etl_transparencia_sergipe_spark.operators.sigstore import (
+    hadoop_store_ready,
+)
+
+
+def canonical_ingest_sink(state_path: str, matches_path: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = 16, bands: int = 4, n: int = 3,
+                          threshold: float = 0.4):
+    """foreachBatch sink: probe-verify-absorb against the canonical
+    state. Requires a state built with
+    ``build_canonical_state(..., base_epoch=...)`` (the epoch-
+    partitioned streaming layout with the texts table) — a missing or
+    half-built state fails loudly instead of silently minting every
+    arriving doc as a new canonical.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        if not hadoop_store_ready(spark, _texts_path(state_path)):
+            raise RuntimeError(
+                f"canonical state at {state_path} is missing its texts "
+                "table — build it with build_canonical_state(..., "
+                "base_epoch=...) before starting the stream")
+        batch = batch_df.select(
+            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+        # candidate text comes from the state itself + the batch —
+        # no corpus rescan, ever
+        texts = (spark.read.parquet(_texts_path(state_path))
+                 .filter(F.col("ingest_batch") < epoch)
+                 .selectExpr(f"doc_id AS {id_col}",
+                             f"text AS {text_col}"))
+        docs_all = texts.unionByName(batch)
+        from etl_transparencia_sergipe_spark.caching import persist_scoped
+
+        # ONE probe per epoch: persisted, shared by the matches table
+        # write and the absorb's best-match/unmatched splits; dropped
+        # in finally so a failed write + replay never leaks cache
+        matches = probe_canonical_state(
+            spark, state_path, docs_all, batch, id_col, text_col,
+            k=k, bands=bands, n=n, threshold=threshold,
+            ingest_batch_lt=epoch).transform(persist_scoped)
+        try:
+            (matches.withColumn("batch_id", F.lit(epoch))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(matches_path))
+            absorb_batch(spark, state_path, docs_all, batch, id_col,
+                         text_col, k=k, bands=bands, n=n,
+                         threshold=threshold, epoch=epoch,
+                         matches=matches)
+        finally:
+            matches.unpersist()
+
+    return write_batch
+
+
+def run_canonical_ingest(spark: SparkSession, docs_dir: str,
+                         state_path: str, matches_path: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int = 1,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         threshold: float = 0.4):
+    """Drive the canonical-contraction ingest stream to completion
+    (availableNow). The state is directly probe-able by the batch path
+    afterwards (same layout, same probe operator)."""
+    from etl_transparencia_sergipe_spark.streaming.sigstore_stream import (
+        documents_stream,
+    )
+
+    stream = documents_stream(spark, docs_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream
+        .foreachBatch(canonical_ingest_sink(state_path, matches_path,
+                                            id_col=id_col,
+                                            text_col=text_col,
+                                            threshold=threshold))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

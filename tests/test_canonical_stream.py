@@ -1,0 +1,121 @@
+"""Streaming canonical-contraction ingest (streaming/canonical_stream):
+cross-batch contraction through foreachBatch epochs, replay
+idempotency of the probe-verify-absorb loop, and batch-path interop
+on the grown state."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_transparencia_sergipe_spark.operators.canonical import (
+    build_canonical_state,
+    probe_canonical_state,
+)
+from etl_transparencia_sergipe_spark.streaming.canonical_stream import (
+    canonical_ingest_sink,
+    run_canonical_ingest,
+)
+
+_BASE = ("the quick brown fox jumps over the lazy dog near the old barn "
+         "while rain falls softly on the quiet village road")
+_NEW_A = ("a brand new document about streaming watermarks and stateful "
+          "session window aggregation semantics in spark")
+_NEW_B = ("unrelated prose describing parquet bloom filters zone maps "
+          "and dynamic partition overwrite commit protocols")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def streamed(spark, tmp_path):
+    """State on a 4-doc clique + 1 singleton; TWO stream batches:
+    batch0 = [clique dup, NEW_A], batch1 = [NEW_A dup, NEW_B]."""
+    old = _docs(spark, [(i, _BASE + " tail common") for i in range(4)]
+                + [(9, "lonely text about something else entirely "
+                       "with no shared shingles anywhere here")])
+    state = str(tmp_path / "state")
+    build_canonical_state(old, "doc_id", "text", state, base_epoch=-1)
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    batches = [
+        _docs(spark, [(100, _BASE + " tail common"), (101, _NEW_A)]),
+        _docs(spark, [(200, _NEW_A), (201, _NEW_B)]),
+    ]
+    for i, b in enumerate(batches):
+        w = tmp_path / f"w{i}"
+        b.coalesce(1).write.parquet(str(w))
+        part = next(p for p in w.iterdir()
+                    if p.name.endswith(".parquet"))
+        part.rename(incoming / f"batch{i}.parquet")
+        shutil.rmtree(w)
+
+    matches = str(tmp_path / "matches")
+    run_canonical_ingest(spark, str(incoming), state, matches,
+                         str(tmp_path / "ckpt"))
+    return state, matches, batches
+
+
+def test_cross_batch_contraction_through_epochs(spark, streamed):
+    state, matches, _ = streamed
+    m = {(r["new_id"], r["canonical_id"])
+         for r in spark.read.parquet(matches).collect()}
+    # batch0: 100 matched the historical clique's canonical (0);
+    # 101 was fresh -> no match row
+    assert (100, 0) in m
+    # batch1: 200 matched the canonical MINTED BY batch0 (101) — the
+    # contraction carries across stream epochs
+    assert (200, 101) in m
+    assert not any(n in (101, 201) for n, _ in m)
+
+    lab = {r["node"]: r["canonical_id"]
+           for r in spark.read.parquet(state + "/labels").collect()}
+    assert lab[100] == 0 and lab[101] == 101
+    assert lab[200] == 101 and lab[201] == 201
+    # canonical store grew by UNMATCHED docs only
+    sig_ids = {r[0] for r in spark.read.parquet(state + "/sigs")
+               .select("doc_id").distinct().collect()}
+    assert sig_ids == {0, 9, 101, 201}
+    txt_ids = {r[0] for r in spark.read.parquet(state + "/texts")
+               .select("doc_id").distinct().collect()}
+    assert txt_ids == {0, 9, 101, 201}
+
+
+def test_epoch_replay_is_idempotent(spark, streamed):
+    state, matches, batches = streamed
+    before = [_rows(spark.read.parquet(p)) for p in
+              (matches, state + "/labels", state + "/sigs",
+               state + "/texts")]
+    sink = canonical_ingest_sink(state, matches)
+    sink(batches[1], 1)  # replay the finished epoch 1
+    after = [_rows(spark.read.parquet(p)) for p in
+             (matches, state + "/labels", state + "/sigs",
+              state + "/texts")]
+    assert after == before
+
+
+def test_batch_path_probes_the_stream_grown_state(spark, streamed):
+    state, _, _ = streamed
+    probe = _docs(spark, [(500, _NEW_B)])
+    texts = (spark.read.parquet(state + "/texts")
+             .selectExpr("doc_id", "text"))
+    got = probe_canonical_state(spark, state,
+                                texts.unionByName(probe), probe,
+                                "doc_id", "text").collect()
+    assert len(got) == 1 and got[0]["canonical_id"] == 201
+
+
+def test_sink_requires_built_state(spark, tmp_path):
+    sink = canonical_ingest_sink(str(tmp_path / "nostate"),
+                                 str(tmp_path / "m"))
+    with pytest.raises(RuntimeError, match="texts"):
+        sink(_docs(spark, [(1, "anything at all")]), 0)
