@@ -150,7 +150,8 @@ def probe_canonical_state(spark: SparkSession, path: str,
                           id_col: str, text_col: str, k: int = 16,
                           bands: int = 4, n: int = 3,
                           threshold: float = 0.4,
-                          ingest_batch_lt: int | None = None) -> DataFrame:
+                          ingest_batch_lt: int | None = None,
+                          broadcast_verify: bool = False) -> DataFrame:
     """Verify a NEW batch against one canonical per cluster.
 
     Returns DataFrame[new_id, canonical_id, jaccard] — one row per
@@ -176,7 +177,8 @@ def probe_canonical_state(spark: SparkSession, path: str,
         .selectExpr("old_id AS id_a", "new_id AS id_b")
     )
     return (
-        jaccard_verify_pairs(docs_all, cand, id_col, text_col, n)
+        jaccard_verify_pairs(docs_all, cand, id_col, text_col, n,
+                             broadcast_side=broadcast_verify)
         .filter(F.col("jaccard") >= threshold)
         .selectExpr("id_b AS new_id", "id_a AS canonical_id", "jaccard")
     )

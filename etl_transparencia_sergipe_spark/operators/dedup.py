@@ -194,7 +194,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard_verify_pairs(df: DataFrame, cand: DataFrame, id_col: str,
-                         text_col: str, n: int = 3) -> DataFrame:
+                         text_col: str, n: int = 3,
+                         broadcast_side: bool = False) -> DataFrame:
     """Exact-Jaccard verify for candidate pairs (id_a, id_b): build each
     CANDIDATE doc's shingle set exactly once — semi-join the corpus to
     candidate ids, run the codegen shingler (shingle_rows) and
@@ -223,11 +224,19 @@ def jaccard_verify_pairs(df: DataFrame, cand: DataFrame, id_col: str,
     # exact OOM the sf10 scale run caught (q33: 500k docs x 100-clique
     # density). A shuffled hash join partitions the array side instead:
     # per-task build memory is size/partitions, bounded.
+    # ``broadcast_side=True`` is the MICRO-BATCH caller's override
+    # (streaming canonical sink): when the candidate-doc set is known
+    # batch-bounded the two forced shuffles are pure per-epoch overhead
+    # and a broadcast of the small shingle side is safe by contract —
+    # the same caller-knows-the-size split as
+    # probe_signature_store(broadcast_probe=...).
+    hint = ((lambda d: F.broadcast(d)) if broadcast_side
+            else (lambda d: d.hint("shuffle_hash")))
     return (
-        cand.join(doc_sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
-                  .hint("shuffle_hash"), "id_a")
-        .join(doc_sh.selectExpr("doc_id AS id_b", "sh AS sh_b")
-              .hint("shuffle_hash"), "id_b")
+        cand.join(hint(doc_sh.selectExpr("doc_id AS id_a", "sh AS sh_a")),
+                  "id_a")
+        .join(hint(doc_sh.selectExpr("doc_id AS id_b", "sh AS sh_b")),
+              "id_b")
         .withColumn(
             "jaccard",
             F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "

@@ -50,7 +50,6 @@ from pyspark.sql import functions as F
 from etl_transparencia_sergipe_spark.operators.canonical import (
     _texts_path,
     absorb_batch,
-    probe_canonical_state,
 )
 from etl_transparencia_sergipe_spark.operators.sigstore import (
     hadoop_store_ready,
@@ -70,6 +69,17 @@ def canonical_ingest_sink(state_path: str, matches_path: str,
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from etl_transparencia_sergipe_spark.caching import persist_scoped
+        from etl_transparencia_sergipe_spark.operators.canonical import (
+            _sigs_path,
+        )
+        from etl_transparencia_sergipe_spark.operators.dedup import (
+            jaccard_verify_pairs,
+        )
+        from etl_transparencia_sergipe_spark.operators.sigstore import (
+            probe_signature_store,
+        )
+
         spark = batch_df.sparkSession
         epoch = int(epoch_id)
         if not hadoop_store_ready(spark, _texts_path(state_path)):
@@ -79,33 +89,50 @@ def canonical_ingest_sink(state_path: str, matches_path: str,
                 "base_epoch=...) before starting the stream")
         batch = batch_df.select(
             F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
-        # candidate text comes from the state itself + the batch —
-        # no corpus rescan, ever
-        texts = (spark.read.parquet(_texts_path(state_path))
-                 .filter(F.col("ingest_batch") < epoch)
-                 .selectExpr(f"doc_id AS {id_col}",
-                             f"text AS {text_col}"))
-        docs_all = texts.unionByName(batch)
-        from etl_transparencia_sergipe_spark.caching import persist_scoped
-
-        # ONE probe per epoch: persisted, shared by the matches table
-        # write and the absorb's best-match/unmatched splits; dropped
-        # in finally so a failed write + replay never leaks cache
-        matches = probe_canonical_state(
-            spark, state_path, docs_all, batch, id_col, text_col,
-            k=k, bands=bands, n=n, threshold=threshold,
-            ingest_batch_lt=epoch).transform(persist_scoped)
+        # 1. band-join candidates against canonical signatures < epoch
+        #    (broadcast probe: a micro-batch always fits)
+        cand = (probe_signature_store(
+            spark, _sigs_path(state_path), batch, id_col, text_col,
+            k=k, bands=bands, n=n, ingest_batch_lt=epoch,
+            pushdown_max_keys=0, broadcast_probe=True)
+            .selectExpr("old_id AS id_a", "new_id AS id_b")
+            .transform(persist_scoped))
         try:
-            (matches.withColumn("batch_id", F.lit(epoch))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(matches_path))
-            absorb_batch(spark, state_path, docs_all, batch, id_col,
-                         text_col, k=k, bands=bands, n=n,
-                         threshold=threshold, epoch=epoch,
-                         matches=matches)
+            # 2. candidate canonical ids are BATCH-BOUNDED (<= one per
+            #    (new doc, colliding cluster)) — collect them and push
+            #    the In filter into the texts scan, so per-epoch text
+            #    I/O is O(candidates), never O(all canonicals)
+            cand_ids = sorted({r[0] for r in
+                               cand.select("id_a").distinct().collect()})
+            texts = (spark.read.parquet(_texts_path(state_path))
+                     .filter((F.col("ingest_batch") < epoch)
+                             & F.col("doc_id").isin(cand_ids))
+                     .selectExpr(f"doc_id AS {id_col}",
+                                 f"text AS {text_col}"))
+            docs_all = texts.unionByName(batch)
+            # 3. exact verify: one pair per (new doc, matched cluster);
+            #    broadcast joins — everything here is batch-bounded.
+            #    Persisted: shared by the matches write and the absorb.
+            matches = (jaccard_verify_pairs(docs_all, cand, id_col,
+                                            text_col, n,
+                                            broadcast_side=True)
+                       .filter(F.col("jaccard") >= threshold)
+                       .selectExpr("id_b AS new_id",
+                                   "id_a AS canonical_id", "jaccard")
+                       .transform(persist_scoped))
+            try:
+                (matches.withColumn("batch_id", F.lit(epoch))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(matches_path))
+                absorb_batch(spark, state_path, docs_all, batch, id_col,
+                             text_col, k=k, bands=bands, n=n,
+                             threshold=threshold, epoch=epoch,
+                             matches=matches)
+            finally:
+                matches.unpersist()
         finally:
-            matches.unpersist()
+            cand.unpersist()
 
     return write_batch
 

@@ -175,6 +175,7 @@ def main() -> None:
               file=sys.stderr)
 
     n_docs = bench_sigstore(spark, sf_dir, out)
+    bench_canonical(spark, sf_dir, out)
     bench_ann_ingest(spark, sf_dir, out)
 
     print(json.dumps({
@@ -307,6 +308,54 @@ def bench_sigstore(spark, sf_dir: str, out: dict) -> int:
     print(f"# sigstore_sink: {sec:.2f}s  {n_docs / sec:,.0f} docs/s  "
           f"{flags} flagged", file=sys.stderr)
     return n_docs
+
+
+def bench_canonical(spark, sf_dir: str, out: dict) -> None:
+    """foreachBatch canonical-contraction ingest over an 8-shard stream
+    of the src15+ split: state built once on the historical corpus
+    (src0-14, the q107 split), each micro-batch probes CANONICALS only,
+    exact-verifies one pair per matched cluster, and absorbs (round 8,
+    streaming/canonical_stream.py). Measured in docs/sec; state-build
+    cost reported separately (one-time, not per-batch)."""
+    from etl_transparencia_sergipe_spark.operators.canonical import (
+        build_canonical_state,
+    )
+    from etl_transparencia_sergipe_spark.streaming.canonical_stream import (
+        run_canonical_ingest,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch",
+        f"canon_bench_{tag}"))
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir)
+    is_new = "CAST(SUBSTR(source, 4) AS INT) >= 15"
+    state = os.path.join(base, "state")
+    t0 = time.time()
+    build_canonical_state(docs.filter(f"NOT ({is_new})"),
+                          "doc_id", "text", state, base_epoch=-1)
+    build_sec = time.time() - t0
+    new = docs.filter(is_new)
+    n_new = new.count()
+    docs_dir = os.path.join(base, "docs")
+    new.repartition(N_SHARDS).write.mode("overwrite").parquet(docs_dir)
+    t0 = time.time()
+    run_canonical_ingest(spark, docs_dir, state,
+                         matches_path=os.path.join(base, "matches"),
+                         checkpoint_dir=os.path.join(base, "ckpt"))
+    sec = time.time() - t0
+    matched = spark.read.parquet(os.path.join(base, "matches")).count()
+    out["canonical_sink"] = {
+        "sec": round(sec, 3),
+        "docs_per_sec": round(n_new / sec),
+        "sec_per_batch": round(sec / N_SHARDS, 3),
+        "state_build_sec": round(build_sec, 3),
+        "out_rows": matched,
+    }
+    print(f"# canonical_sink: {sec:.2f}s  {n_new / sec:,.0f} docs/s  "
+          f"{matched} matches (state build {build_sec:.1f}s)",
+          file=sys.stderr)
 
 
 def bench_ann_ingest(spark, sf_dir: str, out: dict) -> None:
