@@ -157,17 +157,22 @@ def test_contraction_recall_trade_on_chain_clusters(spark, tmp_path):
         probe_signature_store,
     )
 
-    half_a = ("alpha bravo charlie delta echo foxtrot golf hotel india "
-              "juliet kilo lima mike november oscar papa")
-    half_b = ("quebec romeo sierra tango uniform victor whiskey xray "
-              "yankee zulu one two three four five six")
-    half_c = ("seven eight nine ten eleven twelve thirteen fourteen "
-              "fifteen sixteen seventeen eighteen nineteen twenty")
-    old = _docs(spark, [
-        (0, half_a + " " + half_b),          # A
-        (1, half_b + " " + half_c),          # B ~ A (shares half_b)
-        (2, half_c + " " + half_c),          # C ~ B (shares half_c)
-    ])
+    # A = Q+tail, B = Q+R, C = R+tail (Q, R = 24-word blocks): the
+    # adjacent jaccards sit at ~0.46 (the chain regime the 0.4
+    # threshold admits) while j(A, C) ~ 0. The whole pipeline is
+    # md5-deterministic, so this fixture's band collisions are stable —
+    # verified at construction time (the chain forms one cluster below)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu "
+             "zero one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen "
+             "seventeen eighteen nineteen twenty apple").split()
+    Q, R = words[:24], words[24:48]
+    a_txt = " ".join(Q + ["atailone", "atailtwo"])
+    b_txt = " ".join(Q + R)
+    c_txt = " ".join(R + ["ctailone", "ctailtwo"])
+    old = _docs(spark, [(0, a_txt), (1, b_txt), (2, c_txt)])
     path = str(tmp_path / "state")
     build_canonical_state(old, "doc_id", "text", path)
     labels = {r["node"]: r["canonical_id"] for r in
@@ -175,7 +180,8 @@ def test_contraction_recall_trade_on_chain_clusters(spark, tmp_path):
     # precondition: the chain really is ONE cluster with canonical 0
     assert labels == {0: 0, 1: 0, 2: 0}
 
-    new = _docs(spark, [(100, half_c + " " + half_c + " extra")])
+    new = _docs(spark, [(100, " ".join(
+        R + ["ctailone", "ctailtwo", "extraword"]))])
     canon_hits = probe_canonical_state(spark, path,
                                        old.unionByName(new), new,
                                        "doc_id", "text").collect()

@@ -119,3 +119,39 @@ def test_sink_requires_built_state(spark, tmp_path):
                                  str(tmp_path / "m"))
     with pytest.raises(RuntimeError, match="texts"):
         sink(_docs(spark, [(1, "anything at all")]), 0)
+
+
+def test_canonical_sigs_store_compacts_with_sigstore_lsm(spark, streamed):
+    """The canonical state's signature store IS the sigstore banded
+    layout, so the existing LSM compaction applies unchanged: fold the
+    stream's epochs below the last committed one, probes stay
+    bit-identical, and later epochs keep absorbing."""
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        compact_banded_store,
+    )
+
+    state, _, batches = streamed
+    probe = _docs(spark, [(500, _NEW_B), (501, _NEW_A)])
+    texts = (spark.read.parquet(state + "/texts")
+             .selectExpr("doc_id", "text"))
+    before = _rows(probe_canonical_state(
+        spark, state, texts.unionByName(probe), probe, "doc_id", "text"))
+    assert len(before) == 2  # both streamed canonicals found
+
+    # fold base + epoch 0 (strictly below the last committed epoch 1)
+    compact_banded_store(spark, state + "/sigs", upto_epoch=1)
+    after = _rows(probe_canonical_state(
+        spark, state, texts.unionByName(probe), probe, "doc_id", "text"))
+    assert after == before
+
+    # the sink keeps working against the compacted store: replaying
+    # the still-live epoch 1 remains idempotent
+    sink = canonical_ingest_sink(state, state + "/../matches")
+    sink(batches[1], 1)
+    # fresh read: the replay dynamic-overwrote texts/ingest_batch=1, so
+    # the pre-replay DataFrame's file listing is stale by design
+    texts = (spark.read.parquet(state + "/texts")
+             .selectExpr("doc_id", "text"))
+    assert _rows(probe_canonical_state(
+        spark, state, texts.unionByName(probe), probe,
+        "doc_id", "text")) == before
