@@ -251,6 +251,15 @@ def dsir_keep(docs, target_pred: str, n_buckets: int = 1024,
     those rows + broadcast; scoring joins the broadcast ratio and
     combines map-side on the doc id. Both persisted frames are
     model/doc-bucket sized, never token-stream sized.
+
+    Second measured dead end (round 8, besides the as_arrays one): a
+    TWO-pass form — pass A emitting per-task (bucket, r, t) partials
+    with the ratio model collected to the driver, pass B emitting one
+    (id, score) row per doc — eliminates the doc-x-bucket intermediate
+    entirely but re-ships the TEXT across Arrow twice, and the text
+    transfer is the dominant cost: 3.1-3.7 s vs 2.6 s warm at sf1.
+    One text crossing + a compressed intermediate beats two crossings
+    + no intermediate.
     """
     from pyspark.sql import functions as F
 
