@@ -28,7 +28,9 @@ def _norm(df):
 
 
 @pytest.mark.parametrize("qname", ["q38_dedup_clusters",
-                                   "q39_curation_keep_canonical"])
+                                   "q39_curation_keep_canonical",
+                                   "q97_incremental_cc",
+                                   "q107_canonical_dedup"])
 def test_oracle_py_matches_oracle_sql(con, qname):
     from etl_transparencia_sergipe_spark.plans.registry import (
         REGISTRY,
