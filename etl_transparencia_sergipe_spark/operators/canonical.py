@@ -98,7 +98,20 @@ def build_canonical_state(docs_old: DataFrame, id_col: str, text_col: str,
     table exists only in this layout: it makes the state self-
     contained — the exact verify reads candidate canonicals' text from
     the state, never rescanning the corpus.
+
+    ``base_epoch`` must be NEGATIVE (convention: -1). foreachBatch
+    epochs start at 0, and the ingest sink probes partitions with
+    ``ingest_batch < epoch`` then dynamic-overwrites its OWN epoch
+    partition — a state built at base_epoch=0 would be invisible to the
+    epoch-0 probe and then silently destroyed by epoch 0's overwrite
+    (round-8 ADVICE: silent data loss, guarded loudly here).
     """
+    if base_epoch is not None and int(base_epoch) >= 0:
+        raise ValueError(
+            f"base_epoch must be < 0 (got {base_epoch}): streaming "
+            "epochs start at 0 and the sink's dynamic overwrite of its "
+            "own ingest_batch partition would destroy a base written "
+            "at a non-negative epoch")
     spark = docs_old.sparkSession
     pairs = minhash_lsh_pairs(docs_old, id_col, text_col, k=k,
                               bands=bands, threshold=threshold, n=n)

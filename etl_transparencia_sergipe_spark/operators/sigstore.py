@@ -56,6 +56,26 @@ from etl_transparencia_sergipe_spark.operators.hashing import h60_spark
 # migration rebuilds instead of failing analysis on the old schema
 STORE_FORMAT = 2
 
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1024, "kb": 1024,
+               "m": 1024 ** 2, "mb": 1024 ** 2,
+               "g": 1024 ** 3, "gb": 1024 ** 3,
+               "t": 1024 ** 4, "tb": 1024 ** 4}
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 = disabled).
+
+    The conf value is a Spark byte string ("10MB", "10485760", "-1");
+    unparseable values fall back to Spark's 10 MiB default."""
+    import re
+
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                         "10485760") or "10485760"
+    m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m or m.group(2).lower() not in _SIZE_UNITS:
+        return 10 * 1024 * 1024
+    return int(m.group(1)) * _SIZE_UNITS[m.group(2).lower()]
+
 
 def banded_signatures(sig: DataFrame, k: int = 16,
                       bands: int = 4) -> DataFrame:
@@ -306,18 +326,26 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     self-pairs and intra-batch pairs that break the cross-batch-only
     contract. Partition pruning turns this into a directory skip.
 
-    ``broadcast_probe`` (round-7 ADVICE): the broadcast hint BYPASSES
-    spark.sql.autoBroadcastJoinThreshold, so an unconditional
-    F.broadcast(batch bands) is only safe when the caller knows the
-    batch is small (a streaming micro-batch — the sink passes True). A
-    BULK probe (q81's whole src>=15 split at a large SF: bands x (k+2)
-    ints per doc) can outgrow driver/executor memory, where a shuffled
-    hash join degrades gracefully. Default None auto-decides from the
-    size signal the plan already has: the pushdown key collection —
-    when the batch's distinct band keys fit the pushdown budget the
-    batch is point-probe sized and broadcasts; otherwise (too many
-    keys, or pushdown disabled and no explicit True) the probe side
-    gets a shuffle_hash hint instead.
+    ``broadcast_probe`` (round-7 ADVICE; gate re-derived round 9): the
+    broadcast hint BYPASSES spark.sql.autoBroadcastJoinThreshold, so an
+    unconditional F.broadcast(batch bands) is only safe when the caller
+    knows the batch is small (a streaming micro-batch — the sink passes
+    True). A BULK probe (q81's whole src>=15 split at a large SF: bands
+    x (k+2) ints per doc) can outgrow driver/executor memory, where a
+    shuffled hash join degrades gracefully. Default None auto-decides
+    from the batch's ROW COUNT: one cheap agg on the (persisted) batch
+    bands yields (rows, distinct keys); the probe broadcasts iff its
+    estimated byte size — rows x ((k+2) int64s + id slack) — is under
+    the session's autoBroadcastJoinThreshold. Round-8 gated on distinct
+    band-key count instead, which the round-8 ADVICE correctly flagged:
+    on duplicate-dense corpora (the workload this store targets) a
+    multi-million-row batch collapses to few distinct hashes and would
+    have been broadcast wholesale. Row count is the quantity the
+    threshold actually bounds. The same agg bounds the In-pushdown key
+    collection: distinct keys are collected to the driver only after
+    their count is known to fit ``pushdown_max_keys`` (the previous
+    shape collected every band row first and deduped driver-side —
+    itself the OOM it was guarding against).
     """
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 
@@ -344,10 +372,18 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     # pre-join pruning at cluster scale, where a static list that size
     # is impractical anyway.
     point_probe = False
-    if pushdown_max_keys > 0:
-        keys = sorted({r[0] for r in
-                       batch_bands.select("band_hash").collect()})
-        if len(keys) <= pushdown_max_keys:
+    est_bytes = None
+    if pushdown_max_keys > 0 or broadcast_probe is None:
+        stats = batch_bands.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("band_hash").alias("n_keys")).collect()[0]
+        # (k+2) int64 columns per band row, plus slack for the string
+        # doc id and row overhead — a deliberate over-estimate so the
+        # broadcast gate errs toward the shuffle that degrades gracefully
+        est_bytes = stats["n_rows"] * (8 * (k + 2) + 48)
+        if pushdown_max_keys > 0 and stats["n_keys"] <= pushdown_max_keys:
+            keys = sorted(r[0] for r in batch_bands
+                          .select("band_hash").distinct().collect())
             old = old.filter(F.col("band_hash").isin(keys))
             point_probe = True
 
@@ -356,8 +392,11 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     y = batch_bands.select(
         F.col("doc_id").alias("new_id"), "band_id", "band_hash",
         *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)])
-    use_broadcast = (broadcast_probe if broadcast_probe is not None
-                     else point_probe)
+    if broadcast_probe is not None:
+        use_broadcast = broadcast_probe
+    else:
+        thresh = _broadcast_threshold_bytes(spark)
+        use_broadcast = 0 <= est_bytes < thresh
     y = F.broadcast(y) if use_broadcast else y.hint("shuffle_hash")
     return (
         x.join(y, ["band_id", "band_hash"])

@@ -204,6 +204,27 @@ _LOADED = False
 # in-window, implementations changed): q52 (session_window ->
 # gaps-and-islands batch path), q95 (fused single-exchange as-of),
 # q81 (sigstore store v2: banded layout + O(batch) broadcast probe).
+#
+# Round-9 rotation (r8 VERDICT items 2 and 5):
+# - q102 enters — the only query (1 of 107) never driver-windowed
+#   across r01-r08 (it has local hash rows vs its literal-constant twin
+#   at three scales). It takes q108's slot: q108 earned its rows-only
+#   driver row in r08 and stays hash-verified against its oracle_py
+#   twin in the local gate every round (the q63/q98/q99/q101/q103/q106
+#   precedent). Rows-only population stays at the mandated <=2:
+#   q92 + q102.
+# - q109 (bucket-bracketed exact percentiles — the bounded-per-task
+#   100x plan, full SQL oracle, shipped this round) enters for
+#   certification, displacing q74_bigram_topk (driver-green hash rows
+#   in r07 AND r08, implementation unchanged; the text-stats family
+#   keeps q20/q66/q75 in-window and q74 stays hash-verified in the
+#   local gate every round).
+# Also re-certified in place this round (already in-window,
+# implementations changed): q81 and q107 (probe_signature_store's
+# broadcast gate now reads batch ROW BYTES vs autoBroadcastJoinThreshold
+# instead of distinct band keys — round-8 ADVICE), and q56 (oracle n
+# re-pinned to COUNT(l_extendedprice) so both sides count non-null
+# prices — round-8 ADVICE).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
@@ -211,7 +232,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q38_dedup_clusters", "q39_curation_keep_canonical",
     "q107_canonical_dedup",
     "q42_cosine_neardup_pairs", "q44_lsh_ann_topk",
-    "q108_bpe_vocab_induction", "q46_ivf_ann_topk",
+    "q102_ivfpq_residual_topk", "q46_ivf_ann_topk",
     "q56_iqr_outliers",
     "q91_media_ahash_neardup", "q92_rolling_active_hll",
     "q50_tumbling_window", "q100_bm25_topk", "q52_session_windows",
@@ -221,7 +242,8 @@ HEADLINE_50: tuple[str, ...] = (
     "q20_token_stats", "q105_bloom_decontamination",
     "q71_multimodal_features",
     "q51_sliding_window",
-    "q73_merge_materialized", "q74_bigram_topk", "q75_ttr_by_source",
+    "q73_merge_materialized", "q109_percentiles_bucketed",
+    "q75_ttr_by_source",
     "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
     "q79_incremental_dedup", "q80_token_budget_sample",
     "q81_sigstore_probe", "q82_dup_text_fraction", "q83_source_overlap",

@@ -59,7 +59,8 @@ from etl_transparencia_sergipe_spark.operators.sigstore import (
 def canonical_ingest_sink(state_path: str, matches_path: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           k: int = 16, bands: int = 4, n: int = 3,
-                          threshold: float = 0.4):
+                          threshold: float = 0.4,
+                          pushdown_max_keys: int = 1024):
     """foreachBatch sink: probe-verify-absorb against the canonical
     state. Requires a state built with
     ``build_canonical_state(..., base_epoch=...)`` (the epoch-
@@ -101,14 +102,26 @@ def canonical_ingest_sink(state_path: str, matches_path: str,
             # 2. candidate canonical ids are BATCH-BOUNDED (<= one per
             #    (new doc, colliding cluster)) — collect them and push
             #    the In filter into the texts scan, so per-epoch text
-            #    I/O is O(candidates), never O(all canonicals)
-            cand_ids = sorted({r[0] for r in
-                               cand.select("id_a").distinct().collect()})
+            #    I/O is O(candidates), never O(all canonicals). The
+            #    collected list is BUDGETED like probe_signature_store's
+            #    pushdown_max_keys (round-8 ADVICE): a duplicate-heavy
+            #    mega-batch could otherwise build an In expression large
+            #    enough to hurt driver memory and plan/codegen size, so
+            #    past the budget the texts scan degrades to a semi-join
+            #    against the (persisted) candidate frame instead.
+            cand_ids_df = cand.select("id_a").distinct()
+            n_cand = cand_ids_df.limit(pushdown_max_keys + 1).count()
             texts = (spark.read.parquet(_texts_path(state_path))
-                     .filter((F.col("ingest_batch") < epoch)
-                             & F.col("doc_id").isin(cand_ids))
-                     .selectExpr(f"doc_id AS {id_col}",
-                                 f"text AS {text_col}"))
+                     .filter(F.col("ingest_batch") < epoch))
+            if n_cand <= pushdown_max_keys:
+                cand_ids = sorted(r[0] for r in cand_ids_df.collect())
+                texts = texts.filter(F.col("doc_id").isin(cand_ids))
+            else:
+                texts = texts.join(
+                    cand_ids_df.withColumnRenamed("id_a", "doc_id"),
+                    "doc_id", "left_semi")
+            texts = texts.selectExpr(f"doc_id AS {id_col}",
+                                     f"text AS {text_col}")
             docs_all = texts.unionByName(batch)
             # 3. exact verify: one pair per (new doc, matched cluster);
             #    broadcast joins — everything here is batch-bounded.

@@ -114,6 +114,35 @@ def test_batch_path_probes_the_stream_grown_state(spark, streamed):
     assert len(got) == 1 and got[0]["canonical_id"] == 201
 
 
+def test_replay_semi_join_fallback_matches_in_pushdown(spark, streamed):
+    """Round-8 ADVICE: past the pushdown budget the texts scan degrades
+    to a semi-join instead of an uncapped In literal. pushdown_max_keys=0
+    forces that path on a replay — state and matches must come out
+    bit-identical to the In-pushdown run."""
+    state, matches, batches = streamed
+    before = [_rows(spark.read.parquet(p)) for p in
+              (matches, state + "/labels", state + "/sigs",
+               state + "/texts")]
+    sink = canonical_ingest_sink(state, matches, pushdown_max_keys=0)
+    sink(batches[1], 1)
+    after = [_rows(spark.read.parquet(p)) for p in
+             (matches, state + "/labels", state + "/sigs",
+              state + "/texts")]
+    assert after == before
+
+
+def test_build_state_rejects_non_negative_base_epoch(spark, tmp_path):
+    """Round-8 ADVICE: base_epoch >= 0 would be silently excluded from
+    the epoch-0 probe and then destroyed by epoch 0's dynamic
+    overwrite — the builder must fail loudly instead."""
+    docs = _docs(spark, [(1, "any text")])
+    for bad in (0, 1):
+        with pytest.raises(ValueError, match="base_epoch"):
+            build_canonical_state(docs, "doc_id", "text",
+                                  str(tmp_path / f"s{bad}"),
+                                  base_epoch=bad)
+
+
 def test_sink_requires_built_state(spark, tmp_path):
     sink = canonical_ingest_sink(str(tmp_path / "nostate"),
                                  str(tmp_path / "m"))

@@ -117,6 +117,49 @@ def test_store_layout_prunes_row_groups(spark, split_corpus):
         "n_skippable"] == 0
 
 
+def test_duplicate_dense_bulk_probe_not_broadcast(spark, split_corpus):
+    """Round-8 ADVICE: a duplicate-dense batch collapses to FEW distinct
+    band hashes but carries MANY rows — the broadcast gate must read row
+    bytes (what autoBroadcastJoinThreshold bounds), not distinct keys.
+    Such a batch keeps the In pushdown (keys are genuinely few) but must
+    degrade to a shuffled hash join, never F.broadcast."""
+    _, new_path, store = split_corpus
+    one = spark.read.parquet(new_path).limit(1)
+    # 24 copies of one doc: 1 distinct text -> ~bands distinct band keys,
+    # 24 x bands rows. est_bytes = 96 rows x 192 B = 18 KiB > 8 KiB.
+    dense = spark.range(24).crossJoin(one.select("text")).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"), "text")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8KB")
+    try:
+        probe = probe_signature_store(spark, store, dense,
+                                      "doc_id", "text")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # few distinct keys -> the point-probe In pushdown still applies
+    assert "PushedFilters: [In(band_hash" in plan
+
+
+def test_broadcast_threshold_parser(spark):
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        _broadcast_threshold_bytes,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in [("10485760", 10 * 1024 * 1024),
+                          ("10MB", 10 * 1024 * 1024),
+                          ("8kb", 8 * 1024), ("-1", -1),
+                          ("1g", 1024 ** 3)]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_signatures_from_banded_roundtrip(spark, split_corpus):
     """banded -> signatures_from_banded recovers the raw signature frame
     exactly (the store stays consumable by anything wanting plain
