@@ -56,6 +56,7 @@ from etl_transparencia_sergipe_spark.operators.dedup import (
 from etl_transparencia_sergipe_spark.operators.sigstore import (
     build_signature_store,
     probe_signature_store,
+    read_banded_store,
 )
 
 
@@ -156,6 +157,50 @@ def build_canonical_state(docs_old: DataFrame, id_col: str, text_col: str,
          .parquet(_texts_path(path)))
     return {"n_docs": int(labels.count()),
             "n_canonicals": int(canon_ids.count())}
+
+
+def read_state_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Zone-aware read of a canonical-state table (labels / texts):
+    union of the live ``ingest_batch=N`` partitions and the hidden
+    ``_compacted`` zone :func:`compact_canonical_state` folds them
+    into. Delegates to the sigstore reader — the two-zone layout is
+    identical; only the sort clustering differs."""
+    return read_banded_store(spark, table_path)
+
+
+def compact_canonical_state(spark: SparkSession, path: str,
+                            upto_epoch: int, n_files: int = 8) -> None:
+    """LSM-compact all three canonical-state tables (round-9 VERDICT
+    item 4): fold every committed ``ingest_batch < upto_epoch``
+    partition into each table's clustered ``_compacted`` zone —
+    signatures band_hash-clustered (the probe's pushed-In zone maps),
+    labels/texts id-clustered (the sink's candidate-id In filter prunes
+    row groups the same way). Bounded file counts under continuous
+    ingestion; probes and replays are unchanged because every reader is
+    zone-aware (read_banded_store / read_state_table) and
+    ``ingest_batch`` survives as a regular column inside the zones, so
+    the ``< epoch`` replay filter still applies row-level.
+
+    Call only with ``upto_epoch`` <= the stream's last COMMITTED epoch
+    (the ingest sink passes its current epoch id at batch START, when
+    everything below it is committed) — a replay-reachable epoch must
+    stay live so the sink's dynamic partition overwrite rewrites it
+    in place. Crash safety is _fold_store's two-rename protocol per
+    table; the narrow duplicate window is absorbed by the probe's
+    pair-level distinct and by replay overwrite, same contract as the
+    signature store.
+    """
+    from etl_transparencia_sergipe_spark.operators.sigstore import (
+        _fold_store,
+        compact_banded_store,
+    )
+
+    compact_banded_store(spark, _sigs_path(path), upto_epoch,
+                         n_files=n_files)
+    _fold_store(spark, _labels_path(path), upto_epoch, ["node"],
+                n_files=n_files)
+    _fold_store(spark, _texts_path(path), upto_epoch, ["doc_id"],
+                n_files=n_files)
 
 
 def probe_canonical_state(spark: SparkSession, path: str,
@@ -273,7 +318,7 @@ def absorb_batch(spark: SparkSession, path: str, docs_all: DataFrame,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("ingest_batch").parquet(_texts_path(path)))
-    return (spark.read.parquet(_labels_path(path))
+    return (read_state_table(spark, _labels_path(path))
             .select("node", "canonical_id")
             .join(new_docs.selectExpr(f"{id_col} AS node"), "node",
                   "left_semi"))

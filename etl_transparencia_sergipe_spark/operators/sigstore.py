@@ -248,6 +248,22 @@ def compact_banded_store(spark: SparkSession, store_path: str,
     that window; plain parquet + rename is deliberate here to keep the
     engine dependency-free.
     """
+    _fold_store(spark, store_path, upto_epoch, ["band_hash"],
+                n_files=n_files, rows_per_group=rows_per_group,
+                options={"parquet.bloom.filter.enabled#band_hash": "true"})
+
+
+def _fold_store(spark: SparkSession, store_path: str, upto_epoch: int,
+                sort_cols: list[str], n_files: int = 8,
+                rows_per_group: int | None = None,
+                options: dict | None = None) -> None:
+    """The generic LSM fold behind :func:`compact_banded_store`: merge
+    live ``ingest_batch < upto_epoch`` partitions with any previous
+    ``_compacted`` zone into a fresh sort-clustered zone, swap it in via
+    the two-rename protocol, then drop the folded live partitions.
+    Round-9: factored out so the canonical state's labels/texts tables
+    (plain epoch-partitioned parquet, not banded) share the exact
+    crash-safety story instead of growing their own."""
     from etl_transparencia_sergipe_spark.operators.layout import (
         sorted_write,
     )
@@ -270,9 +286,9 @@ def compact_banded_store(spark: SparkSession, store_path: str,
         return
 
     tmp_str = store_path.rstrip("/") + "/_compact_tmp"
-    sorted_write(merged, tmp_str, ["band_hash"], n_files=n_files,
+    sorted_write(merged, tmp_str, sort_cols, n_files=n_files,
                  rows_per_group=rows_per_group,
-                 options={"parquet.bloom.filter.enabled#band_hash": "true"})
+                 options=options or {})
     old = HPath(store_path.rstrip("/") + "/_compact_old")
     if fs.exists(old):
         fs.delete(old, True)

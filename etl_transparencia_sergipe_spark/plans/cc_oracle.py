@@ -38,7 +38,61 @@ def clear_cc_cache() -> None:
     _CC_CACHE.clear()
 
 
-def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
+# Converged labels persisted across PROCESSES (round-9 VERDICT item 3):
+# the oracle-side clustering of a large corpus is the one genuinely
+# expensive piece of every CC-family oracle (pairs + label propagation:
+# 127 s at sf1, past the 900 s gate watchdog at sf10), and it is a pure
+# function of (corpus file, pair-graph SQL) — so the gate's oracle can
+# PROBE PREBUILT ORACLE STATE instead of re-clustering per run, exactly
+# mirroring the engine's own q81/q107 incremental posture. The cache is
+# DuckDB-computed only (never written from Spark results), keyed by the
+# documents parquet's path+size+mtime AND the pairs SQL, so any change
+# to data or formulation rebuilds. tools/build_cc_oracle_cache.py
+# prebuilds it outside the watchdog.
+_DISK_CACHE_ROOT = None  # resolved lazily; overridable for tests
+
+
+def _disk_cache_root() -> str:
+    import os
+
+    global _DISK_CACHE_ROOT
+    if _DISK_CACHE_ROOT is None:
+        _DISK_CACHE_ROOT = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "..", ".scratch",
+            "cc_oracle_cache"))
+    return _DISK_CACHE_ROOT
+
+
+def docs_cache_tag(con, pairs_sql: str, view: str = "documents") -> str | None:
+    """Disk-cache tag for a converged label table: identity of the
+    parquet file behind the registered ``view`` (path + size + mtime)
+    plus the pair-graph SQL. None (= no disk caching) when the view is
+    not a plain single-file read_parquet."""
+    import hashlib
+    import os
+    import re
+
+    try:
+        row = con.execute(
+            "SELECT sql FROM duckdb_views() WHERE view_name = ?",
+            [view]).fetchone()
+    except Exception:
+        return None
+    if not row or not row[0]:
+        return None
+    m = re.search(r"read_parquet\('([^']+)'\)", row[0])
+    if not m:
+        return None
+    try:
+        st = os.stat(m.group(1))
+    except OSError:
+        return None
+    raw = f"{m.group(1)}|{st.st_size}|{int(st.st_mtime)}|{pairs_sql}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+
+def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64,
+                   disk_tag: str | None = None) -> str:
     """Materialize DataFrame[node, component] for the pair graph.
 
     Returns the temp-table name holding the converged labels. Mirrors
@@ -46,7 +100,13 @@ def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
     takes the min label over itself and its neighbors, (2) path halving
     follows component -> component-of-component, so label reach doubles
     per round and a diameter-D graph converges in O(log D) rounds.
+
+    ``disk_tag`` (from :func:`docs_cache_tag`): probe/persist the
+    converged labels under .scratch/cc_oracle_cache/<tag>.parquet so
+    repeat gate runs skip the build entirely.
     """
+    import os
+
     key = (id(con), pairs_sql)
     if key in _CC_CACHE:
         try:
@@ -55,10 +115,18 @@ def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
         except Exception:
             # id(con) collision with a GC'd connection: table missing
             del _CC_CACHE[key]
-    # rebuilding overwrites the shared temp tables — drop any stale
-    # cache entries for this connection (different pairs_sql)
+    # rebuilding/reloading overwrites the shared temp tables — drop any
+    # stale cache entries for this connection (different pairs_sql)
     for k in [k for k in _CC_CACHE if k[0] == id(con)]:
         del _CC_CACHE[k]
+
+    disk_path = (os.path.join(_disk_cache_root(), f"{disk_tag}.parquet")
+                 if disk_tag else None)
+    if disk_path and os.path.exists(disk_path):
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _cc_labels AS "
+                    f"SELECT * FROM read_parquet('{disk_path}')")
+        _CC_CACHE[key] = "_cc_labels"
+        return "_cc_labels"
 
     con.execute(f"""
         CREATE OR REPLACE TEMP TABLE _cc_edges AS
@@ -102,6 +170,12 @@ def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64) -> str:
                     "SELECT * FROM _cc_next")
         if changed == 0:
             _CC_CACHE[key] = "_cc_labels"
+            if disk_path:
+                os.makedirs(_disk_cache_root(), exist_ok=True)
+                tmp = disk_path + ".tmp"
+                con.execute(
+                    f"COPY _cc_labels TO '{tmp}' (FORMAT PARQUET)")
+                os.replace(tmp, disk_path)  # atomic publish
             return "_cc_labels"
     raise RuntimeError(
         f"cc oracle did not converge in {max_iter} rounds")

@@ -95,6 +95,16 @@ def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_PAIRS_SQL = minhash_lsh_pairs_duck('documents', 'doc_id', 'text',
                                        k=16, bands=4, threshold=0.4)
 
+# OLD-corpus (src0-14) near-dup graph, shared VERBATIM by the q97 and
+# q107 oracles: the pairs SQL string is part of the disk-cache key
+# (plans/cc_oracle.docs_cache_tag), so both oracles must spell the view
+# name identically to share one converged-labels cache entry.
+OLD_DOCS_VIEW_SQL = ("CREATE OR REPLACE TEMP VIEW _cc_old_docs AS "
+                     "SELECT * FROM documents "
+                     "WHERE CAST(SUBSTR(source, 4) AS INT) < 15")
+OLD_PAIRS_SQL = minhash_lsh_pairs_duck('_cc_old_docs', 'doc_id', 'text',
+                                       k=16, bands=4, threshold=0.4)
+
 
 def _q38_oracle_py(con):
     """Iterative label-propagation oracle — same result as the
@@ -103,9 +113,11 @@ def _q38_oracle_py(con):
     transitive-closure blow-up (~17 min -> seconds at sf1)."""
     from etl_transparencia_sergipe_spark.plans.cc_oracle import (
         cc_labels_duck,
+        docs_cache_tag,
     )
 
-    t = cc_labels_duck(con, _CC_PAIRS_SQL)
+    t = cc_labels_duck(con, _CC_PAIRS_SQL,
+                       disk_tag=docs_cache_tag(con, _CC_PAIRS_SQL))
     return con.execute(f"""
         SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
         FROM {t} GROUP BY component
@@ -660,17 +672,19 @@ def _q107_oracle_py(con):
     """Fast local oracle: iterative label propagation over the OLD
     corpus's near-dup graph (plans/cc_oracle — the q38/q97 fast-CC
     path), then the contraction probe in plain SQL. Bit-identical to
-    the registered recursive-CTE form (driver runs that at sf0.01)."""
+    the registered recursive-CTE form (driver runs that at sf0.01).
+    The converged old-graph labels persist in the DuckDB-only disk
+    cache (plans/cc_oracle), so the sf10 gate probes prebuilt oracle
+    state instead of re-clustering past the watchdog (round-9 VERDICT
+    item 3)."""
     from etl_transparencia_sergipe_spark.plans.cc_oracle import (
         cc_labels_duck,
+        docs_cache_tag,
     )
 
-    con.execute("CREATE OR REPLACE TEMP VIEW _q107_old_docs AS "
-                "SELECT * FROM documents "
-                "WHERE CAST(SUBSTR(source, 4) AS INT) < 15")
-    old_sql = minhash_lsh_pairs_duck('_q107_old_docs', 'doc_id', 'text',
-                                     k=16, bands=4, threshold=0.4)
-    t = cc_labels_duck(con, old_sql)
+    con.execute(OLD_DOCS_VIEW_SQL)
+    t = cc_labels_duck(con, OLD_PAIRS_SQL,
+                       disk_tag=docs_cache_tag(con, OLD_PAIRS_SQL))
     con.execute(f"CREATE OR REPLACE TEMP TABLE _q107_old_cc AS "
                 f"SELECT * FROM {t}")
     return con.execute(
@@ -796,17 +810,16 @@ def _q97_oracle_py(con):
     (they share _CC_PAIRS_SQL)."""
     from etl_transparencia_sergipe_spark.plans.cc_oracle import (
         cc_labels_duck,
+        docs_cache_tag,
     )
 
-    con.execute("CREATE OR REPLACE TEMP VIEW _q97_old_docs AS "
-                "SELECT * FROM documents "
-                "WHERE CAST(SUBSTR(source, 4) AS INT) < 15")
-    old_sql = minhash_lsh_pairs_duck('_q97_old_docs', 'doc_id', 'text',
-                                     k=16, bands=4, threshold=0.4)
-    t = cc_labels_duck(con, old_sql)
+    con.execute(OLD_DOCS_VIEW_SQL)
+    t = cc_labels_duck(con, OLD_PAIRS_SQL,
+                       disk_tag=docs_cache_tag(con, OLD_PAIRS_SQL))
     con.execute(f"CREATE OR REPLACE TEMP TABLE _q97_old_cc AS "
                 f"SELECT * FROM {t}")
-    t = cc_labels_duck(con, _CC_PAIRS_SQL)
+    t = cc_labels_duck(con, _CC_PAIRS_SQL,
+                       disk_tag=docs_cache_tag(con, _CC_PAIRS_SQL))
     con.execute(f"CREATE OR REPLACE TEMP TABLE _q97_cc AS "
                 f"SELECT * FROM {t}")
     return con.execute(_Q97_SUMMARY.format(

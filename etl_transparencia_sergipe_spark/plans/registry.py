@@ -219,6 +219,12 @@ _LOADED = False
 #   in r07 AND r08, implementation unchanged; the text-stats family
 #   keeps q20/q66/q75 in-window and q74 stays hash-verified in the
 #   local gate every round).
+# - q110 (exact substring-level dedup spans, Lee et al.-style sliding
+#   fixed-W windows + gaps-and-islands span merge, full SQL oracle,
+#   shipped this round — r8 VERDICT item 8) enters for certification,
+#   displacing q75_ttr_by_source (driver-green hash rows in r07 AND
+#   r08, implementation unchanged; the text-stats family keeps
+#   q20/q66 in-window and q75 stays hash-verified in the local gate).
 # Also re-certified in place this round (already in-window,
 # implementations changed): q81 and q107 (probe_signature_store's
 # broadcast gate now reads batch ROW BYTES vs autoBroadcastJoinThreshold
@@ -243,7 +249,7 @@ HEADLINE_50: tuple[str, ...] = (
     "q71_multimodal_features",
     "q51_sliding_window",
     "q73_merge_materialized", "q109_percentiles_bucketed",
-    "q75_ttr_by_source",
+    "q110_substring_dedup_spans",
     "q76_prefix_dedup", "q77_event_funnel", "q78_cohort_retention",
     "q79_incremental_dedup", "q80_token_budget_sample",
     "q81_sigstore_probe", "q82_dup_text_fraction", "q83_source_overlap",

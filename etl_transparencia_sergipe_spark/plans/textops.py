@@ -268,12 +268,14 @@ def _q39_oracle_py(con):
     labels table with q38's (same pair graph, cached per connection)."""
     from etl_transparencia_sergipe_spark.plans.cc_oracle import (
         cc_labels_duck,
+        docs_cache_tag,
     )
     from etl_transparencia_sergipe_spark.plans.dedup_queries import (
         _CC_PAIRS_SQL,
     )
 
-    t = cc_labels_duck(con, _CC_PAIRS_SQL)
+    t = cc_labels_duck(con, _CC_PAIRS_SQL,
+                       disk_tag=docs_cache_tag(con, _CC_PAIRS_SQL))
     return con.execute(f"""
         SELECT lang,
                COUNT(*) AS n_docs,
@@ -1037,6 +1039,137 @@ def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("bigint").alias("n_cross_doc_dup_chunks"),
              F.sum(F.when(F.col("n_occ") > 1, F.col("n")).otherwise(0))
              .cast("bigint").alias("n_dup_occurrences"))
+    )
+
+
+_SPAN_W = 16
+
+
+@register(
+    "q110_substring_dedup_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, {{toks}} AS toks FROM documents
+    ), totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+        FROM tok GROUP BY source
+    ), win AS (
+        SELECT doc_id, source, i AS pos,
+               md5(array_to_string(toks[(i + 1):(i + {_SPAN_W})], ' '))
+                   AS fp
+        FROM tok,
+             UNNEST(generate_series(0, len(toks) - {_SPAN_W})) AS t(i)
+        WHERE len(toks) >= {_SPAN_W}
+    ), dupfp AS (
+        SELECT fp FROM win GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+    ), dup AS (
+        SELECT w.doc_id, w.source, w.pos FROM win w JOIN dupfp USING (fp)
+    ), flagged AS (
+        SELECT doc_id, source, pos,
+               CASE WHEN MAX(pos + {_SPAN_W}) OVER prev IS NULL
+                      OR pos > MAX(pos + {_SPAN_W}) OVER prev
+                    THEN 1 ELSE 0 END AS is_start
+        FROM dup
+        WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+        SELECT doc_id, source, pos,
+               SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, source, island,
+               MIN(pos) AS s, MAX(pos) + {_SPAN_W} AS e
+        FROM isl GROUP BY doc_id, source, island
+    ), per_doc AS (
+        SELECT doc_id, source,
+               COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+        FROM spans GROUP BY doc_id, source
+    )
+    SELECT t.source, t.n_docs,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_docs_with_dup,
+           CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+           t.total_tokens,
+           ROUND(CAST(COALESCE(SUM(p.dup_tokens), 0) AS DOUBLE)
+                 / t.total_tokens, 6) AS dup_token_frac
+    FROM totals t LEFT JOIN per_doc p USING (source)
+    GROUP BY t.source, t.n_docs, t.total_tokens
+    """.format(toks=tokens_duck("text")),
+    doc="P9/F16 EXACT SUBSTRING-level dedup at fixed token granularity "
+        "(round-8 VERDICT item 8; the Lee et al. 'Deduplicating "
+        "Training Data' posture re-expressed relationally): every "
+        f"{_SPAN_W}-token SLIDING window (all positions, not q84's "
+        "aligned blocks) is fingerprinted; windows shared across "
+        "documents are merged per doc into MAXIMAL duplicated spans by "
+        "a gaps-and-islands pass (running max of span end; a window "
+        "opens a new span iff it starts past everything seen), giving "
+        "per-source counts of duplicated spans and the exact token "
+        "coverage a Lee-style cut would remove. Any duplicated "
+        f"substring of >= {_SPAN_W} tokens shares at least one "
+        "window, so span coverage lower-bounds true maximal-substring "
+        "coverage, converging as W shrinks — the suffix-array exactness "
+        "traded for a shuffle-only plan. Shuffle shape at 100 TB: one "
+        "row per token position but fixed-width (pos + 32-byte digest, "
+        "never text); the dup-window semi-join keys both sides on fp "
+        "(co-partitioned); the islands window partitions per doc_id — "
+        "bounded by document length, no global sort [EXT].",
+)
+def q110_substring_dedup_spans(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, "documents", sf_dir)
+    w = _SPAN_W
+    # one tokenization per doc, materialized in its own projection (the
+    # q84 lesson: a split() inlined into the transform lambda re-runs
+    # per element; tests/test_chunk_plan.py pins the hoist there)
+    tok = docs.selectExpr("doc_id", "source",
+                          f"{tokens_spark('text')} AS toks")
+    totals = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"))
+    win = tok.filter(F.size("toks") >= w).selectExpr(
+        "doc_id", "source",
+        f"posexplode(transform(sequence(0, size(toks) - {w}), "
+        f"i -> md5(array_join(slice(toks, i + 1, {w}), ' ')))) "
+        "AS (pos, fp)")
+    dupfp = (win.groupBy("fp")
+             .agg(F.countDistinct("doc_id").alias("nd"))
+             .filter("nd > 1").select("fp"))
+    dup = win.join(dupfp, "fp", "left_semi").select(
+        "doc_id", "source", "pos")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        wd.rowsBetween(W.unboundedPreceding, -1))
+    isl = (dup.withColumn(
+        "is_start",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0))
+        .withColumn("island", F.sum("is_start").over(wd)))
+    spans = isl.groupBy("doc_id", "source", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + w).alias("e"))
+    per_doc = spans.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"))
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_with_dup"),
+        F.sum("n_spans").cast("bigint").alias("n_dup_spans"),
+        F.sum("dup_tokens").cast("bigint").alias("dup_tokens"))
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.coalesce("n_docs_with_dup", F.lit(0)).cast("bigint")
+            .alias("n_docs_with_dup"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+            .alias("dup_tokens"),
+            "total_tokens",
+            F.round(F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("total_tokens"), 6).alias("dup_token_frac"))
     )
 
 

@@ -64,19 +64,39 @@ def embeddings_stream(spark: SparkSession, emb_dir: str,
 
 
 def ann_ingest_sink(index_path: str, drift_path: str,
-                    id_col: str = "vec_id", vec_col: str = "embedding"):
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    compact_every: int | None = 32):
     """foreachBatch sink: assign-only encode + epoch-partitioned write.
 
     Requires an index built with ``build_ivfpq_index(...,
     base_epoch=...)`` (the epoch-partitioned layout) at ``index_path``;
     the stored quantizer is the immutable trained state every epoch
     encodes against.
+
+    ``compact_every`` (round-9 VERDICT item 4): every N epochs the sink
+    folds committed ingest epochs into the base partition
+    (ann_index.compact_ann_index) with ``upto_epoch = <current
+    epoch>`` — at batch START everything below the current epoch is
+    checkpoint-committed and can never replay, so the fold is
+    replay-safe, and the epoch being processed stays live for its own
+    dynamic overwrite. Running compaction at batch start makes a crash
+    mid-compaction self-healing: the cadence is a pure function of the
+    epoch id, so the replayed epoch re-enters the same
+    compact_ann_index call, whose first step repairs an interrupted
+    root swap. Search results are bit-identical across folds (codes
+    are moved, never re-encoded — test-pinned). None disables.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from etl_transparencia_sergipe_spark.caching import persist_scoped
+        from etl_transparencia_sergipe_spark.operators.ann_index import (
+            compact_ann_index,
+        )
 
         spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_ann_index(spark, index_path, upto_epoch=epoch)
         cmat, books, baseline = _load_quantizer(index_path)
         enc = _encode(batch_df, cmat, books, id_col, vec_col) \
             .transform(persist_scoped)

@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 from etl_transparencia_sergipe_spark.operators.canonical import (
     _texts_path,
     absorb_batch,
+    compact_canonical_state,
+    read_state_table,
 )
 from etl_transparencia_sergipe_spark.operators.sigstore import (
     hadoop_store_ready,
@@ -60,13 +62,24 @@ def canonical_ingest_sink(state_path: str, matches_path: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           k: int = 16, bands: int = 4, n: int = 3,
                           threshold: float = 0.4,
-                          pushdown_max_keys: int = 1024):
+                          pushdown_max_keys: int = 1024,
+                          compact_every: int | None = 32):
     """foreachBatch sink: probe-verify-absorb against the canonical
     state. Requires a state built with
     ``build_canonical_state(..., base_epoch=...)`` (the epoch-
     partitioned streaming layout with the texts table) — a missing or
     half-built state fails loudly instead of silently minting every
     arriving doc as a new canonical.
+
+    ``compact_every`` (round-9 VERDICT item 4): every N epochs the sink
+    LSM-compacts the state's three tables (compact_canonical_state)
+    with ``upto_epoch = <current epoch>`` — at batch START everything
+    below the current epoch is checkpoint-committed and can never
+    replay, while the current epoch stays live for its own dynamic
+    overwrite. Running it at batch start (not end) makes a crash
+    mid-compaction self-healing: the replayed epoch re-enters the same
+    compaction call, whose first step is the two-rename crash repair.
+    None disables (single-driver batch loops that compact manually).
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -88,6 +101,10 @@ def canonical_ingest_sink(state_path: str, matches_path: str,
                 f"canonical state at {state_path} is missing its texts "
                 "table — build it with build_canonical_state(..., "
                 "base_epoch=...) before starting the stream")
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            # epochs < epoch are committed — fold them; the current
+            # epoch stays live (replay overwrites it in place)
+            compact_canonical_state(spark, state_path, upto_epoch=epoch)
         batch = batch_df.select(
             F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
         # 1. band-join candidates against canonical signatures < epoch
@@ -111,7 +128,7 @@ def canonical_ingest_sink(state_path: str, matches_path: str,
             #    against the (persisted) candidate frame instead.
             cand_ids_df = cand.select("id_a").distinct()
             n_cand = cand_ids_df.limit(pushdown_max_keys + 1).count()
-            texts = (spark.read.parquet(_texts_path(state_path))
+            texts = (read_state_table(spark, _texts_path(state_path))
                      .filter(F.col("ingest_batch") < epoch))
             if n_cand <= pushdown_max_keys:
                 cand_ids = sorted(r[0] for r in cand_ids_df.collect())

@@ -67,7 +67,8 @@ def documents_stream(spark: SparkSession, docs_dir: str,
 def sigstore_ingest_sink(store_path: str, flags_path: str,
                          id_col: str = "doc_id", text_col: str = "text",
                          k: int = 16, bands: int = 4, n: int = 3,
-                         min_agree: int = 8):
+                         min_agree: int = 8,
+                         compact_every: int | None = 32):
     """foreachBatch sink: probe-then-append incremental dedup.
 
     Emits to ``flags_path`` rows [old_id, new_id, n_agree, batch_id] for
@@ -77,12 +78,28 @@ def sigstore_ingest_sink(store_path: str, flags_path: str,
     ``ingest_batch=<epoch>`` so a replayed epoch overwrites its own
     partition instead of duplicating rows (idempotent retry — the same
     guarantee the reference gets from whole-month CSV overwrite).
+
+    ``compact_every`` (round-9 VERDICT item 4): every N epochs the sink
+    folds committed ``ingest_batch < <current epoch>`` partitions into
+    the band_hash-clustered ``_compacted`` zone (compact_banded_store)
+    at batch START — everything below the current epoch is checkpoint-
+    committed and can never replay; the epoch being processed stays
+    live for its own dynamic overwrite, and a crash mid-compaction is
+    self-healing because the replayed epoch re-enters the same
+    compaction call. None disables.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from etl_transparencia_sergipe_spark.caching import persist_scoped
+        from etl_transparencia_sergipe_spark.operators.sigstore import (
+            compact_banded_store,
+        )
 
         spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        if (compact_every and epoch > 0 and epoch % compact_every == 0
+                and hadoop_store_ready(spark, store_path)):
+            compact_banded_store(spark, store_path, upto_epoch=epoch)
         # ONE text scan per epoch: the persisted signature frame feeds
         # both the probe (passed through new_sig) and the banded append
         sig = minhash_signatures(batch_df, id_col, text_col, k=k, n=n) \

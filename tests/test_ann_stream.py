@@ -173,6 +173,66 @@ def test_compaction_repairs_half_finished_swap(spark, emb, tmp_path):
     assert _rows(search_ivfpq_index(emb, index, k=5, r=100)) == expected
 
 
+def test_auto_compaction_growth_sweep(spark, emb, tmp_path):
+    """Round-9 VERDICT item 4: the sink's own compact_every cadence
+    keeps the epoch tree bounded across a 64-epoch growth sweep —
+    live partitions never exceed the cadence (+base), file count stays
+    far below the uncompacted one-dir-per-epoch trajectory, search
+    results are bit-identical to an uncompacted twin, and replaying
+    the exact compaction-trigger epoch (the crash-repair path: the
+    replay re-enters the same compact_ann_index call) converges."""
+    n = emb.count()
+    cut = n // 2
+    per = 2  # vectors per epoch
+    epochs = 64
+    paths = {}
+    for mode, every in (("auto", 16), ("off", None)):
+        index = str(tmp_path / f"idx_{mode}")
+        build_ivfpq_index(emb.filter(f"vec_id < {cut}"), index,
+                          base_epoch=-1)
+        sink = ann_ingest_sink(index, str(tmp_path / f"drift_{mode}"),
+                               compact_every=every)
+        for e in range(epochs):
+            lo = cut + (e * per) % (n - cut - per)
+            sink(emb.filter(f"vec_id >= {lo} AND vec_id < {lo + per}")
+                 .selectExpr(f"vec_id + {1000 + e * per} AS vec_id",
+                             "embedding"), e)
+        paths[mode] = index
+
+    def _nfiles(root):
+        import pathlib
+
+        return sum(1 for p in pathlib.Path(root).rglob("*.parquet"))
+
+    auto, off = paths["auto"], paths["off"]
+    live = sorted(r[0] for r in spark.read.parquet(auto)
+                  .select("ingest_batch").distinct().collect())
+    # last fold at epoch 48 -> live epochs 48..63 plus the base fold
+    assert live == [-1] + list(range(48, 64))
+    off_parts = spark.read.parquet(off).select(
+        "ingest_batch").distinct().count()
+    assert off_parts == epochs + 1
+    assert _nfiles(auto) < _nfiles(off) / 2
+    # identical content and identical search results
+    assert spark.read.parquet(auto).count() == \
+        spark.read.parquet(off).count()
+    q = emb.filter("vec_id < 20")
+    assert _rows(search_ivfpq_index(q, auto, k=5, r=100)) == \
+        _rows(search_ivfpq_index(q, off, k=5, r=100))
+    # replay the LAST compaction-trigger epoch (48): compaction re-runs
+    # with the same upto_epoch, the epoch's own partitions are
+    # dynamic-overwritten — the tree must converge bit-identically
+    before = _rows(spark.read.parquet(auto))
+    e = 48
+    lo = cut + (e * per) % (n - cut - per)
+    sink = ann_ingest_sink(auto, str(tmp_path / "drift_auto"),
+                           compact_every=16)
+    sink(emb.filter(f"vec_id >= {lo} AND vec_id < {lo + per}")
+         .selectExpr(f"vec_id + {1000 + e * per} AS vec_id",
+                     "embedding"), e)
+    assert _rows(spark.read.parquet(auto)) == before
+
+
 def test_search_prunes_cells_on_epoch_layout(spark, emb, grown):
     """Cell-partition pruning survives the two-level
     ingest_batch/cell tree: PartitionFilters still carry the cell

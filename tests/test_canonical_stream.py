@@ -143,6 +143,88 @@ def test_build_state_rejects_non_negative_base_epoch(spark, tmp_path):
                                   base_epoch=bad)
 
 
+def test_auto_compaction_growth_sweep(spark, tmp_path):
+    """Round-9 VERDICT item 4: canonical_ingest_sink's compact_every
+    cadence keeps all three state tables' epoch trees bounded across a
+    64-epoch sweep — live partition dirs never exceed the cadence,
+    matches/labels are bit-identical to an uncompacted twin, and
+    replaying the compaction-trigger epoch converges (crash repair:
+    the replay re-enters the same compact_canonical_state call)."""
+    import pathlib
+
+    def _dirs(root):
+        return sorted(int(p.name.split("=", 1)[1])
+                      for p in pathlib.Path(root).glob("ingest_batch=*"))
+
+    def _doc(spark, e):
+        if e % 2 == 0:  # a fresh copy of the historical clique content
+            return _docs(spark, [(100 + e, _BASE + " tail common")])
+        # genuinely novel content per odd epoch: hash-derived words so
+        # char-shingle overlap across epochs is negligible (numeric-only
+        # variation would leave near-dup trigram sets)
+        import hashlib
+
+        words = " ".join(hashlib.md5(f"{e}:{i}".encode()).hexdigest()[:8]
+                         for i in range(10))
+        return _docs(spark, [(100 + e, words)])
+
+    epochs = 64
+    states = {}
+    for mode, every in (("auto", 16), ("off", None)):
+        old = _docs(spark, [(i, _BASE + " tail common") for i in range(4)]
+                    + [(9, "lonely text about something else entirely "
+                           "with no shared shingles anywhere here")])
+        state = str(tmp_path / f"state_{mode}")
+        matches = str(tmp_path / f"matches_{mode}")
+        build_canonical_state(old, "doc_id", "text", state, base_epoch=-1)
+        sink = canonical_ingest_sink(state, matches, compact_every=every)
+        for e in range(epochs):
+            sink(_doc(spark, e), e)
+        states[mode] = (state, matches)
+
+    auto, off = states["auto"], states["off"]
+    # last fold at epoch 48: live dirs are 48..63. labels get a
+    # partition every epoch; sigs/texts only on UNMATCHED (odd/fresh)
+    # epochs — matched docs' signatures are never appended (the
+    # contraction invariant), so an all-matched epoch writes no dir.
+    expect_auto = {"labels": list(range(48, 64)),
+                   "sigs": list(range(49, 64, 2)),
+                   "texts": list(range(49, 64, 2))}
+    expect_off_n = {"labels": epochs + 1,
+                    "sigs": epochs // 2 + 1,
+                    "texts": epochs // 2 + 1}
+    for table in ("labels", "sigs", "texts"):
+        assert _dirs(f"{auto[0]}/{table}") == expect_auto[table], table
+        assert len(_dirs(f"{off[0]}/{table}")) == expect_off_n[table], table
+    # content identical to the uncompacted twin
+    from etl_transparencia_sergipe_spark.operators.canonical import (
+        read_state_table,
+    )
+
+    for table in ("labels", "texts"):
+        a = _rows(read_state_table(spark, f"{auto[0]}/{table}")
+                  .drop("ingest_batch"))
+        b = _rows(spark.read.parquet(f"{off[0]}/{table}")
+                  .drop("ingest_batch"))
+        assert a == b, table
+    assert _rows(spark.read.parquet(auto[1])) == \
+        _rows(spark.read.parquet(off[1]))
+    # every clique copy matched the historical canonical, cross-epoch
+    m = {r["new_id"]: r["canonical_id"]
+         for r in spark.read.parquet(auto[1]).collect()}
+    assert all(m[100 + e] == 0 for e in range(0, epochs, 2))
+    assert not any(100 + e in m for e in range(1, epochs, 2))
+    # replay the trigger epoch (48): compaction re-runs with the same
+    # upto_epoch, then the epoch dynamic-overwrites itself — converge
+    before = [_rows(read_state_table(spark, f"{auto[0]}/{t}"))
+              for t in ("labels", "sigs", "texts")]
+    sink = canonical_ingest_sink(auto[0], auto[1], compact_every=16)
+    sink(_doc(spark, 48), 48)
+    after = [_rows(read_state_table(spark, f"{auto[0]}/{t}"))
+             for t in ("labels", "sigs", "texts")]
+    assert after == before
+
+
 def test_sink_requires_built_state(spark, tmp_path):
     sink = canonical_ingest_sink(str(tmp_path / "nostate"),
                                  str(tmp_path / "m"))
