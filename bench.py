@@ -32,6 +32,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from etl_transparencia_sergipe_spark.caching import release_all
 from etl_transparencia_sergipe_spark.session import get_spark
 import __spark_entry__ as entrymod
 
@@ -87,7 +88,17 @@ def bench_names(qs: dict) -> list[str]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # The session's 2-min periodic GC (disk-leak protection for ad-hoc
+    # long sessions) fires MID-QUERY on a run this long: a full 24g-heap
+    # collection plus the ContextCleaner churn it triggers lands inside
+    # whatever query is executing — measured as q39 warm 11.7 s vs its
+    # 5.9 s steady state (tools/exp_r9_drift.py). The bench places the
+    # same GC deterministically at every query boundary instead (below,
+    # outside the timers — ~0.2 s each), so the periodic timer is
+    # stretched out of the way: cleanup now happens ~218x per run, far
+    # more often than every 2 min.
+    spark = get_spark("bench", extra_conf={
+        "spark.cleaner.periodicGC.interval": "60min"})
 
     qs = entrymod.queries()
     names = bench_names(qs)
@@ -143,8 +154,15 @@ def main() -> None:
             # reuse within one query; across back-to-back queries those
             # caches accumulate into executor-memory pressure that showed
             # up as 3x run-to-run swings (q31 2.0s vs 6.2s) — clear
-            # OUTSIDE the timer
-            spark.catalog.clearCache()
+            # OUTSIDE the timer. release_all also drops localCheckpoint
+            # blocks (CC-tier lineage truncation), which clearCache never
+            # touches and which measured 2-3x on the queries that follow
+            # a CC run in session order (caching.py:release_persistent_rdds).
+            # The explicit GC replaces the periodic timer (see session
+            # build above): reference-tracked cleanup (old shuffle files,
+            # broadcasts) runs NOW, on an emptied heap, not mid-query.
+            release_all(spark)
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

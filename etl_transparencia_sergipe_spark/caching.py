@@ -44,3 +44,28 @@ def persist_scoped(df: DataFrame,
 def release_all(spark: SparkSession) -> None:
     """Drop every cached frame in the session (harness-level bound)."""
     spark.catalog.clearCache()
+    release_persistent_rdds(spark)
+
+
+def release_persistent_rdds(spark: SparkSession) -> None:
+    """Drop ALL block-manager RDD state — including localCheckpoint data.
+
+    ``catalog.clearCache()`` only covers plan-level caches; the blocks
+    behind ``localCheckpoint`` (lineage truncation in the iterative
+    operators) are plain persisted RDDs that the ContextCleaner reclaims
+    only after a DRIVER GC drops their handles — minutes on a 24g heap.
+    Measured on the bench protocol (tools/exp_r9_drift.py): q39 in a
+    session that had just run q31+q38 took 17.4 s cold / 11 s warm vs
+    6.0 / 4.7 s in a fresh session, and an explicit System.gc() between
+    runs made warm runs SLOWER (the async cleanup storm lands inside the
+    timed window). Deterministic release between queries is both the
+    honest bench posture (each query measured against an empty block
+    manager, same as the fresh-session number) and the production one
+    (a multi-tenant driver should not let one query's truncation blocks
+    evict another's working set).
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)

@@ -11,8 +11,33 @@ have tiny diameters, so it converges in a few rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Drop block-manager state for the given RDD ids (non-blocking).
+
+    ``localCheckpoint`` data IS the persisted blocks of the truncated
+    RDD — ``DataFrame.unpersist``/``catalog.clearCache`` never touch it,
+    and the ContextCleaner only reclaims it after a DRIVER GC notices
+    the dropped reference (minutes on a 24g heap; the blocks meanwhile
+    occupy the executors' unified memory pool and evict useful state).
+    Freeing superseded rounds eagerly bounds an iteration's storage
+    footprint at ~2x one labels frame for ANY round count — on a
+    1000-executor cluster the same mechanism keeps a 50-round job from
+    pinning 50 copies of a corpus-sized label table.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
@@ -41,19 +66,29 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    spark = pairs.sparkSession
+    local = checkpoint_dir is None
+
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .unionByName(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
         .distinct()
         .cache()
     )
+    before = _persistent_rdd_ids(spark) if local else set()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .transform(truncate)
     )
+    # ids registered by THIS call's most recent truncate — superseded
+    # (and freed) as soon as the next round's checkpoint materializes
+    round_ids = (_persistent_rdd_ids(spark) - before) if local else set()
     for _ in range(max_iter):
+        # lazy localCheckpoint REGISTERS its persist at build time (the
+        # transform below), so the created-ids window opens here
+        before = _persistent_rdd_ids(spark) if local else set()
         # hop 1: min over neighbors' labels and own
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -94,6 +129,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         )
         changed = updated.filter("component != old_component").count()
         labels = updated.select("node", "component")
+        if local:
+            # the count() above materialized this round's checkpoint —
+            # the previous round's blocks are dead weight from here
+            created = _persistent_rdd_ids(spark) - before
+            _unpersist_rdd_ids(spark, round_ids - created)
+            round_ids = created
         if changed == 0:
             break
     # the final labels are checkpointed (self-contained), so the edge

@@ -203,3 +203,31 @@ def test_incremental_components_property(spark):
         assert got == want
 
     run()
+
+
+def test_components_release_superseded_checkpoints(spark):
+    """Each pointer-jumping round frees the PREVIOUS round's
+    localCheckpoint blocks as soon as its own materializes: after a
+    multi-round run completes and the result is consumed, the session
+    holds at most the FINAL round's checkpoint (plus nothing from the
+    edges cache, unpersisted at exit) — not one block set per round.
+    Guards the bench-drift mechanism measured in tools/exp_r9_drift.py
+    (q39 17.4 s after q31+q38 vs 6.0 s fresh-session)."""
+    from etl_transparencia_sergipe_spark.caching import release_all
+    from etl_transparencia_sergipe_spark.operators.components import (
+        _persistent_rdd_ids,
+    )
+
+    release_all(spark)
+    base = _persistent_rdd_ids(spark)
+    # 120-node chain: several pointer-jumping rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint")
+    got = connected_components(pairs)
+    assert got.filter("component != 0").count() == 0
+    leftover = _persistent_rdd_ids(spark) - base
+    # final checkpoint only (edges cache is unpersisted non-blocking,
+    # so allow it to still be registered); NEVER one per round
+    assert len(leftover) <= 2, leftover
+    release_all(spark)
+    assert len(_persistent_rdd_ids(spark) - base) == 0

@@ -31,6 +31,7 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from etl_transparencia_sergipe_spark.caching import release_all
 from etl_transparencia_sergipe_spark.plans import registry
 from etl_transparencia_sergipe_spark.session import get_spark
 from etl_transparencia_sergipe_spark.sources.catalog import TABLES
@@ -89,7 +90,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = build(spark, sf_dir).toPandas()
-            spark.catalog.clearCache()  # bound accumulated persists
+            release_all(spark)  # bound accumulated persists + checkpoints
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")

@@ -48,7 +48,9 @@ def main() -> int:
     from etl_transparencia_sergipe_spark.plans.registry import queries
     from etl_transparencia_sergipe_spark.session import get_spark
 
-    spark = get_spark(f"exp-r9-drift-{mode}")
+    extra = ({"spark.cleaner.periodicGC.interval": "60min"}
+             if mode == "benchgc" else None)
+    spark = get_spark(f"exp-r9-drift-{mode}", extra_conf=extra)
     qs = queries()
     # codegen warmup at sf0.001 (bench protocol)
     for n in ("q31_minhash_lsh_dedup", "q38_dedup_clusters",
@@ -61,6 +63,33 @@ def main() -> int:
             _run(spark, n, qs[n], sf_dir, "cold")
             for i in range(3):
                 _run(spark, n, qs[n], sf_dir, f"warm{i}")
+    elif mode == "bench":
+        # the bench.py protocol post-fix: release_all (catalog caches +
+        # localCheckpoint blocks) between timed runs, OUTSIDE the timer
+        from etl_transparencia_sergipe_spark.caching import release_all
+        for n in ("q31_minhash_lsh_dedup", "q38_dedup_clusters",
+                  "q39_curation_keep_canonical", "q97_incremental_cc"):
+            release_all(spark)
+            _run(spark, n, qs[n], sf_dir, "cold")
+            for i in range(3):
+                release_all(spark)
+                _run(spark, n, qs[n], sf_dir, f"warm{i}")
+    elif mode == "benchgc":
+        # bench + deterministic GC placement: System.gc() between timed
+        # runs (so the ContextCleaner's work happens OUTSIDE the timer,
+        # on a heap the release_all just emptied) — candidate protocol
+        # for bench.py if it kills the q39 warm2-style mid-run GC spike
+        from etl_transparencia_sergipe_spark.caching import release_all
+        for n in ("q31_minhash_lsh_dedup", "q38_dedup_clusters",
+                  "q39_curation_keep_canonical", "q97_incremental_cc"):
+            for label in ("cold", "warm0", "warm1", "warm2"):
+                release_all(spark)
+                t0 = time.time()
+                spark.sparkContext._jvm.System.gc()
+                gc_s = round(time.time() - t0, 3)
+                dt = _run(spark, n, qs[n], sf_dir, label)
+                print(json.dumps({"query": n, "label": label + "+gcinfo",
+                                  "gc_sec": gc_s}), flush=True)
     elif mode == "solo":
         n = "q39_curation_keep_canonical"
         _run(spark, n, qs[n], sf_dir, "cold")
