@@ -99,7 +99,18 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
     # codegen expression). LAZY: the next round's top-1 collect is the
     # materializing action, so each round runs ONE job instead of
     # checkpoint-then-count
+    from etl_transparencia_sergipe_spark.caching import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    before = persistent_rdd_ids(spark)
     words = words.localCheckpoint(eager=False)
+    # a LAZY checkpoint still references its predecessor until the next
+    # collect materializes it — so each round frees the checkpoint from
+    # TWO rounds back (live = materialized, pending = registered)
+    pending_ids = persistent_rdd_ids(spark) - before
+    live_ids: set[int] = set()
 
     merges: list[dict] = []
     for rank in range(n_merges):
@@ -119,13 +130,19 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
             .limit(1)
             .collect()
         )
+        # the collect materialized this round's checkpoint — the prior
+        # round's blocks are dead weight from here
+        unpersist_rdd_ids(spark, live_ids - pending_ids)
+        live_ids = pending_ids
         if not top:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
         merges.append({"rank": rank, "left": l, "right": r,
                        "merged": l + r, "pair_count": cnt})
+        before = persistent_rdd_ids(spark)
         words = (words.selectExpr("freq", f"{_merge_fold(l, r)} AS syms")
                  .localCheckpoint(eager=False))
+        pending_ids = persistent_rdd_ids(spark) - before
     return merges
 
 

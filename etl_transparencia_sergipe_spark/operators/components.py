@@ -11,33 +11,20 @@ have tiny diameters, so it converges in a few rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(k) for k in jmap.keySet().toArray()}
-
-
-def _unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
-    """Drop block-manager state for the given RDD ids (non-blocking).
-
-    ``localCheckpoint`` data IS the persisted blocks of the truncated
-    RDD — ``DataFrame.unpersist``/``catalog.clearCache`` never touch it,
-    and the ContextCleaner only reclaims it after a DRIVER GC notices
-    the dropped reference (minutes on a 24g heap; the blocks meanwhile
-    occupy the executors' unified memory pool and evict useful state).
-    Freeing superseded rounds eagerly bounds an iteration's storage
-    footprint at ~2x one labels frame for ANY round count — on a
-    1000-executor cluster the same mechanism keeps a 50-round job from
-    pinning 50 copies of a corpus-sized label table.
-    """
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in ids:
-        rdd = jmap.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
+# ``localCheckpoint`` data IS the persisted blocks of the truncated RDD —
+# ``DataFrame.unpersist``/``catalog.clearCache`` never touch it, and the
+# ContextCleaner only reclaims it after a DRIVER GC notices the dropped
+# reference (minutes on a 24g heap; the blocks meanwhile occupy the
+# executors' unified memory pool and evict useful state). Each round
+# below frees the superseded round's blocks eagerly instead.
+from etl_transparencia_sergipe_spark.caching import (
+    persistent_rdd_ids as _persistent_rdd_ids,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
+)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
