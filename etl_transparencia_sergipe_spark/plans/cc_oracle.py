@@ -51,6 +51,13 @@ def clear_cc_cache() -> None:
 # prebuilds it outside the watchdog.
 _DISK_CACHE_ROOT = None  # resolved lazily; overridable for tests
 
+# The disk cache exists for the CORRECTNESS gate (oracle walls past the
+# sf10 watchdog are the oracle's cost, not the engine's). BENCH runs
+# must measure the oracle actually doing the clustering work — with the
+# cache on, a CC-family oracle collapses to a parquet read and every
+# ratio against it is meaningless. tools/bench_oracle.py sets False.
+DISK_CACHE_ENABLED = True
+
 
 def _disk_cache_root() -> str:
     import os
@@ -121,7 +128,7 @@ def cc_labels_duck(con, pairs_sql: str, max_iter: int = 64,
         del _CC_CACHE[k]
 
     disk_path = (os.path.join(_disk_cache_root(), f"{disk_tag}.parquet")
-                 if disk_tag else None)
+                 if disk_tag and DISK_CACHE_ENABLED else None)
     if disk_path and os.path.exists(disk_path):
         con.execute(f"CREATE OR REPLACE TEMP TABLE _cc_labels AS "
                     f"SELECT * FROM read_parquet('{disk_path}')")

@@ -32,6 +32,9 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     from etl_transparencia_sergipe_spark.plans import cc_oracle, registry
+    # bench measures the oracle DOING the clustering work — the disk
+    # cache is gate-only (see cc_oracle.DISK_CACHE_ENABLED)
+    cc_oracle.DISK_CACHE_ENABLED = False
     from etl_transparencia_sergipe_spark.sources.catalog import TABLES
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
