@@ -390,14 +390,24 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     point_probe = False
     est_bytes = None
     if pushdown_max_keys > 0 or broadcast_probe is None:
-        stats = batch_bands.agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("band_hash").alias("n_keys")).collect()[0]
+        # gate stats from the RAW batch relation, not the signature
+        # frame: band rows = docs x bands EXACTLY (banded_signatures
+        # emits one row per (doc, band)), and docs x bands upper-bounds
+        # the distinct band keys — so a light count of the batch docs
+        # decides both gates without running the shingle+minhash
+        # pipeline as a separate job (the round-8 shape did, costing a
+        # full extra pass: q81 warm 0.58 -> 1.02 s; the minhash compute
+        # now stays fused into the probe join's own job). The key upper
+        # bound is the SAFE direction: a duplicate-dense batch (few
+        # distinct keys, many rows) never qualifies for the driver-side
+        # INSET it would have flooded.
+        n_docs = new_docs.count()
+        n_band_rows = n_docs * bands
         # (k+2) int64 columns per band row, plus slack for the string
         # doc id and row overhead — a deliberate over-estimate so the
         # broadcast gate errs toward the shuffle that degrades gracefully
-        est_bytes = stats["n_rows"] * (8 * (k + 2) + 48)
-        if pushdown_max_keys > 0 and stats["n_keys"] <= pushdown_max_keys:
+        est_bytes = n_band_rows * (8 * (k + 2) + 48)
+        if 0 < n_band_rows <= pushdown_max_keys:
             keys = sorted(r[0] for r in batch_bands
                           .select("band_hash").distinct().collect())
             old = old.filter(F.col("band_hash").isin(keys))
