@@ -1111,8 +1111,9 @@ _SPAN_W = 16
         "window, so span coverage lower-bounds true maximal-substring "
         "coverage, converging as W shrinks — the suffix-array exactness "
         "traded for a shuffle-only plan. Shuffle shape at 100 TB: one "
-        "row per token position but fixed-width (pos + 32-byte digest, "
-        "never text); the dup-window semi-join keys both sides on fp "
+        "row per token position but fixed-width (pos + 8-byte xxhash64 "
+        "fingerprint, never text); the dup-window semi-join keys both "
+        "sides on fp "
         "(co-partitioned); the islands window partitions per doc_id — "
         "bounded by document length, no global sort [EXT].",
 )
@@ -1130,16 +1131,43 @@ def q110_substring_dedup_spans(spark: SparkSession,
     totals = tok.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.size("toks")).cast("bigint").alias("total_tokens"))
-    win = tok.filter(F.size("toks") >= w).selectExpr(
+    # Window fingerprints need only WITHIN-ENGINE injectivity (each side
+    # partitions its own windows by equality; the compared OUTPUT is the
+    # span stats), so the engine is free to pick a cheaper hash than the
+    # oracle's md5: every token is xxhash64'd ONCE per doc, and each
+    # window fingerprints a w-long slice of those 8-byte hashes instead
+    # of md5 over a rebuilt ~100-byte string per position — measured
+    # 22.0 s -> see BASELINE round-9 (the md5+array_join pass dominated
+    # the corpus-position explosion). 64-bit fp over ~37M windows at sf1
+    # gives ~4e-5 expected collisions; a 100 TB corpus (~1e12 windows)
+    # upgrades to 128 bits by pairing two seeds:
+    # (xxhash64(sl), xxhash64(sl, 1L)).
+    win = (tok.filter(F.size("toks") >= w)
+           .selectExpr("doc_id", "source",
+                       "transform(toks, t -> xxhash64(t)) AS th")
+           .selectExpr(
         "doc_id", "source",
-        f"posexplode(transform(sequence(0, size(toks) - {w}), "
-        f"i -> md5(array_join(slice(toks, i + 1, {w}), ' ')))) "
-        "AS (pos, fp)")
-    dupfp = (win.groupBy("fp")
-             .agg(F.countDistinct("doc_id").alias("nd"))
-             .filter("nd > 1").select("fp"))
-    dup = win.join(dupfp, "fp", "left_semi").select(
-        "doc_id", "source", "pos")
+        f"posexplode(transform(sequence(0, size(th) - {w}), "
+        f"i -> xxhash64(slice(th, i + 1, {w})))) "
+        "AS (pos, fp)"))
+    # single-pass dup detection: the corpus-position stream is reduced
+    # to one row per (fp, doc) carrying its position list, cross-doc
+    # windows are flagged by a COUNT(*) OVER (fp) on that aggregated
+    # frame (post-aggregation each (fp, doc) appears once, so the count
+    # IS the distinct-doc count), and positions explode back out. The
+    # first formulation computed the window stream twice (a groupBy(fp)
+    # branch AND a semi-join probe branch — two full tokenize+hash
+    # corpus passes plus a 37M-row-a-side shuffle join at sf1); this
+    # shape pays ONE corpus pass and shuffles the position stream once
+    # (the window pass reuses the aggregated, near-1:1 frame). The
+    # per-(fp,doc) position list is bounded by positions within one
+    # document — no corpus-frequency skew (a boilerplate 16-gram in
+    # every doc still yields one bounded row per doc).
+    per = win.groupBy("fp", "doc_id", "source").agg(
+        F.collect_list("pos").alias("poss"))
+    dup = (per.withColumn("nd", F.count("*").over(W.partitionBy("fp")))
+           .filter("nd > 1")
+           .select("doc_id", "source", F.explode("poss").alias("pos")))
     wd = W.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + w).over(
         wd.rowsBetween(W.unboundedPreceding, -1))
