@@ -228,9 +228,17 @@ _LOADED = False
 # Also re-certified in place this round (already in-window,
 # implementations changed): q81 and q107 (probe_signature_store's
 # broadcast gate now reads batch ROW BYTES vs autoBroadcastJoinThreshold
-# instead of distinct band keys — round-8 ADVICE), and q56 (oracle n
-# re-pinned to COUNT(l_extendedprice) so both sides count non-null
-# prices — round-8 ADVICE).
+# instead of distinct band keys — round-8 ADVICE; later refined to a
+# raw-batch row count so the gate costs one light scan, not a signature
+# pass), q56 (oracle n re-pinned to COUNT(l_extendedprice) so both
+# sides count non-null prices — round-8 ADVICE), q38/q39/q97/q102/q107
+# (connected_components now frees each superseded round's
+# localCheckpoint eagerly — behavior-identical, hash re-verified), and
+# q110 (xxhash64 fingerprints + single-pass dup detection, hash
+# re-verified at sf0.01/0.1/1). q108's checkpoint-release change is
+# certified by its LOCAL oracle_py hash twin (re-verified at sf0.01 and
+# sf10 this round) — a driver re-window would only earn a rows-only
+# row, which its r08 row already provides.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q31_minhash_lsh_dedup", "q32_simhash_dedup", "q33_ngram_jaccard_topk",
