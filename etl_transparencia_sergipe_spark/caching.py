@@ -69,7 +69,20 @@ def release_persistent_rdds(spark: SparkSession) -> None:
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every RDD currently registered with the block manager —
-    plan-level caches AND localCheckpoint data."""
+    plan-level caches AND localCheckpoint data.
+
+    SINGLE-THREADED ASSUMPTION (round-9 ADVICE): the before/after
+    snapshot-diffing pattern built on this (components.py, bpe.py) reads
+    SESSION-GLOBAL state. If another query runs concurrently in the same
+    SparkSession, ids it registers inside a window land in the caller's
+    ``created`` set and get unpersisted a round later while still live —
+    and a localCheckpoint has no lineage to recompute from, so the
+    concurrent job FAILS, not slows. The iterative operators therefore
+    require that no other query materializes checkpoints/caches in this
+    session while they iterate (true for the bench/driver harnesses and
+    the documented one-query-at-a-time production posture; a
+    multi-tenant driver must serialize CC/BPE runs or give each tenant
+    its own session)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(k) for k in jmap.keySet().toArray()}
 

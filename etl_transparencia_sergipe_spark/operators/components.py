@@ -62,6 +62,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .cache()
     )
+    # Register the edge cache's buffer RDD BEFORE opening the tracked-id
+    # window: merely BUILDING a dependent plan registers it (toRdd forces
+    # physical planning, which persists the InMemoryRelation buffer —
+    # verified: lazy checkpoints register BOTH ids at build time), so
+    # without this count the first window below captures the edge-cache
+    # id alongside the initial checkpoint's, and round 1's eviction
+    # silently drops the cache — every later round then recomputes the
+    # union+distinct edge shuffle (round-9 ADVICE; pinned by
+    # test_components_edge_cache_survives_rounds). One cheap extra job
+    # over work every round reads anyway.
+    edges.count()
     before = _persistent_rdd_ids(spark) if local else set()
     labels = (
         edges.select(F.col("src").alias("node"))

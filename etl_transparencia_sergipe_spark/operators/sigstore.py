@@ -349,19 +349,28 @@ def probe_signature_store(spark: SparkSession, store_path: str,
     True). A BULK probe (q81's whole src>=15 split at a large SF: bands
     x (k+2) ints per doc) can outgrow driver/executor memory, where a
     shuffled hash join degrades gracefully. Default None auto-decides
-    from the batch's ROW COUNT: one cheap agg on the (persisted) batch
-    bands yields (rows, distinct keys); the probe broadcasts iff its
-    estimated byte size — rows x ((k+2) int64s + id slack) — is under
-    the session's autoBroadcastJoinThreshold. Round-8 gated on distinct
-    band-key count instead, which the round-8 ADVICE correctly flagged:
-    on duplicate-dense corpora (the workload this store targets) a
-    multi-million-row batch collapses to few distinct hashes and would
-    have been broadcast wholesale. Row count is the quantity the
-    threshold actually bounds. The same agg bounds the In-pushdown key
-    collection: distinct keys are collected to the driver only after
-    their count is known to fit ``pushdown_max_keys`` (the previous
-    shape collected every band row first and deduped driver-side —
-    itself the OOM it was guarding against).
+    from the batch's ROW COUNT: one light ``new_docs.count()`` on the
+    RAW batch relation (columns pruned to nothing — it never runs the
+    shingle+minhash pipeline as a separate job) gives n_docs, and band
+    rows = n_docs x bands EXACTLY; the probe broadcasts iff the
+    estimated byte size — band rows x ((k+2) int64s + id slack) — is
+    under the session's autoBroadcastJoinThreshold. Round-8 gated on
+    distinct band-key count instead, which the round-8 ADVICE correctly
+    flagged: on duplicate-dense corpora (the workload this store
+    targets) a multi-million-row batch collapses to few distinct hashes
+    and would have been broadcast wholesale. Row count is the quantity
+    the threshold actually bounds.
+
+    The same count gates the In-pushdown WITHOUT a driver-side distinct
+    collect of unknown size: ``pushdown_max_keys`` is compared against
+    n_docs x bands — an UPPER bound on distinct band keys, so the gate
+    effectively bounds band ROWS, not distinct keys (a duplicate-dense
+    batch of many docs but few distinct hashes no longer qualifies for
+    the point-probe it did in round 8 — the safe direction: such a
+    batch's key list is cheap but its band frame is exactly what the
+    broadcast gate must veto; default 1024 keys = <=256 docs at
+    bands=4). Distinct keys are collected to the driver only after the
+    bound is known to fit.
     """
     from etl_transparencia_sergipe_spark.caching import persist_scoped
 

@@ -231,3 +231,39 @@ def test_components_release_superseded_checkpoints(spark):
     assert len(leftover) <= 2, leftover
     release_all(spark)
     assert len(_persistent_rdd_ids(spark) - base) == 0
+
+
+def test_components_edge_cache_survives_rounds(spark, monkeypatch):
+    """The edges cache must NOT land in the per-round eviction sets
+    (round-9 ADVICE): the eager initial-labels checkpoint used to
+    materialize the edge-cache buffer RDD inside the first tracked-id
+    window, so round 1's `round_ids - created` unpersisted it and every
+    later round silently recomputed the union+distinct edge shuffle.
+    Each truncate registers exactly ONE checkpoint id, so with the fix
+    every eviction call frees at most one id; the bug shows up as a
+    2-id first call (edge cache + superseded initial checkpoint)."""
+    from etl_transparencia_sergipe_spark.caching import release_all
+    from etl_transparencia_sergipe_spark.operators import components as C
+
+    release_all(spark)
+    calls: list[set[int]] = []
+    real = C._unpersist_rdd_ids
+
+    def spy(sess, ids):
+        calls.append(set(ids))
+        real(sess, ids)
+
+    monkeypatch.setattr(C, "_unpersist_rdd_ids", spy)
+    # 120-node chain: several pointer-jumping rounds, so several
+    # superseded-checkpoint evictions happen mid-run
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint")
+    got = C.connected_components(pairs)
+    assert got.filter("component != 0").count() == 0
+    assert len(calls) >= 2, "expected a multi-round run"
+    for ids in calls:
+        assert len(ids) <= 1, (
+            f"eviction set {ids} holds more than the one superseded "
+            "checkpoint — the edges cache leaked into the tracked-id "
+            "window")
+    release_all(spark)
