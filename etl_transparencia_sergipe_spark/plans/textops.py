@@ -1114,15 +1114,39 @@ _SPAN_W = 16
         "row per token position but fixed-width (pos + 8-byte xxhash64 "
         "fingerprint, never text); the dup-window semi-join keys both "
         "sides on fp "
-        "(co-partitioned); the islands window partitions per doc_id — "
-        "bounded by document length, no global sort [EXT].",
+        "(co-partitioned, hash-aggregated with join-back — NOT a "
+        "per-fingerprint window, so a corpus-wide boilerplate w-gram "
+        "cannot pin one task); the islands window partitions per "
+        "doc_id — bounded by document length, no global sort. "
+        "fp_bits=128 (reversed-slice second channel) is the ~1e12-"
+        "window posture [EXT].",
 )
 def q110_substring_dedup_spans(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
+    return substring_dedup_spans(load(spark, "documents", sf_dir))
+
+
+def substring_dedup_spans(docs: DataFrame, w: int = _SPAN_W,
+                          fp_bits: int = 64) -> DataFrame:
+    """Per-source duplicated-span stats over sliding w-token windows —
+    the parameterized engine behind q110 (see its register doc).
+
+    ``fp_bits``: window-fingerprint width. 64 (default) is one xxhash64
+    over the slice of per-token hashes — ~4e-5 expected collisions over
+    sf1's ~37M windows. 128 is the 100-TB posture (~1e12 windows would
+    see ~30k spurious merges at 64 bits): a SECOND decorrelated channel
+    hashes the REVERSED slice, so two windows merge only if both 64-bit
+    hashes collide (~1e-15 at 1e12 windows). Spark's xxhash64 has a
+    FIXED seed (42) and multi-arg calls chain the running hash as the
+    next seed — so `xxhash64(sl, lit(1))` is a deterministic function
+    of `xxhash64(sl)` alone and adds NO independence (round-9 ADVICE);
+    reversing the input produces a genuinely different hash function
+    over the same bytes.
+    """
     from pyspark.sql import Window as W
 
-    docs = load(spark, "documents", sf_dir)
-    w = _SPAN_W
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+
     # one tokenization per doc, materialized in its own projection (the
     # q84 lesson: a split() inlined into the transform lambda re-runs
     # per element; tests/test_chunk_plan.py pins the hoist there)
@@ -1138,35 +1162,50 @@ def q110_substring_dedup_spans(spark: SparkSession,
     # window fingerprints a w-long slice of those 8-byte hashes instead
     # of md5 over a rebuilt ~100-byte string per position — measured
     # 22.0 s -> see BASELINE round-9 (the md5+array_join pass dominated
-    # the corpus-position explosion). 64-bit fp over ~37M windows at sf1
-    # gives ~4e-5 expected collisions; a 100 TB corpus (~1e12 windows)
-    # upgrades to 128 bits by pairing two seeds:
-    # (xxhash64(sl), xxhash64(sl, 1L)).
+    # the corpus-position explosion).
+    sl = f"slice(th, i + 1, {w})"
+    if fp_bits == 64:
+        fp_expr = f"xxhash64({sl})"
+    elif fp_bits == 128:
+        # struct key: grouping/join on a 2-field struct keeps the whole
+        # pipeline shape identical to the 64-bit path
+        fp_expr = (f"struct(xxhash64({sl}) AS h1, "
+                   f"xxhash64(reverse({sl})) AS h2)")
+    else:
+        raise ValueError(f"fp_bits must be 64 or 128, got {fp_bits}")
     win = (tok.filter(F.size("toks") >= w)
            .selectExpr("doc_id", "source",
                        "transform(toks, t -> xxhash64(t)) AS th")
            .selectExpr(
         "doc_id", "source",
         f"posexplode(transform(sequence(0, size(th) - {w}), "
-        f"i -> xxhash64(slice(th, i + 1, {w})))) "
+        f"i -> {fp_expr})) "
         "AS (pos, fp)"))
     # single-pass dup detection: the corpus-position stream is reduced
-    # to one row per (fp, doc) carrying its position list, cross-doc
-    # windows are flagged by a COUNT(*) OVER (fp) on that aggregated
-    # frame (post-aggregation each (fp, doc) appears once, so the count
-    # IS the distinct-doc count), and positions explode back out. The
-    # first formulation computed the window stream twice (a groupBy(fp)
-    # branch AND a semi-join probe branch — two full tokenize+hash
-    # corpus passes plus a 37M-row-a-side shuffle join at sf1); this
-    # shape pays ONE corpus pass and shuffles the position stream once
-    # (the window pass reuses the aggregated, near-1:1 frame). The
-    # per-(fp,doc) position list is bounded by positions within one
-    # document — no corpus-frequency skew (a boilerplate 16-gram in
-    # every doc still yields one bounded row per doc).
-    per = win.groupBy("fp", "doc_id", "source").agg(
-        F.collect_list("pos").alias("poss"))
-    dup = (per.withColumn("nd", F.count("*").over(W.partitionBy("fp")))
-           .filter("nd > 1")
+    # to one row per (fp, doc) carrying its position list — bounded by
+    # positions within one document, so no corpus-frequency skew on
+    # THAT shuffle (a boilerplate 16-gram in every doc still yields one
+    # bounded row per doc). Cross-doc windows are then flagged by a
+    # partially-aggregated groupBy(fp).count() joined back on fp
+    # (post-aggregation each (fp, doc) appears once, so the count IS
+    # the distinct-doc count). Round 9 used COUNT(*) OVER (PARTITION BY
+    # fp) here — one window partition per fingerprint, which
+    # materializes EVERY (fp, doc) row of a corpus-wide boilerplate
+    # fingerprint in a single task at 100x scale (window exec gets
+    # neither map-side partial aggregation nor AQE skew splitting); the
+    # hash-agg + join-back pays the same fp-keyed exchange, partial-
+    # aggregates map-side, and the join IS AQE-skew-splittable
+    # (round-9 VERDICT item 2; hash-identical, pinned by
+    # tests/test_substring_spans.py).
+    per = (win.groupBy("fp", "doc_id", "source")
+           .agg(F.collect_list("pos").alias("poss"))
+           # feeds both the fp-count branch and the join probe — persist
+           # so the corpus tokenize+hash pass runs once (module policy:
+           # the harness clears caches after materializing each query)
+           .transform(persist_scoped))
+    dupfp = (per.groupBy("fp").agg(F.count("*").alias("nd"))
+             .filter("nd > 1").select("fp"))
+    dup = (per.join(dupfp, "fp")
            .select("doc_id", "source", F.explode("poss").alias("pos")))
     wd = W.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + w).over(

@@ -90,3 +90,37 @@ def test_bucketed_is_bit_identical_to_windowed(spark):
         df, ["g"], specs, bucketed=True, n_buckets=4).collect()))
     spark.catalog.clearCache()
     assert a == b
+
+
+def test_auto_select_is_a_plan_decision(spark, monkeypatch):
+    """bucketed=None (the default) derives the path from an
+    approx_count_distinct estimate against the per-task budget
+    (round-9 VERDICT item 6): small distinct counts keep the faster
+    windowed plan, a tiny budget forces the bounded bucketed plan, and
+    BOTH produce the same rows as the explicit paths."""
+    from etl_transparencia_sergipe_spark.operators import percentiles as P
+
+    calls = []
+    real = P.percentiles_bucketed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "percentiles_bucketed", spy)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    specs = [("l_quantity", [0.5], ["median_qty"]),
+             ("l_extendedprice", [0.25, 0.75], ["p25", "p75"])]
+    ref = sorted(map(tuple, P.exact_percentiles_stacked(
+        li, ["l_returnflag"], specs, bucketed=False).collect()))
+
+    # default budget: ~30k distinct prices/group at sf0.01 stays windowed
+    auto = sorted(map(tuple, P.exact_percentiles_stacked(
+        li, ["l_returnflag"], specs).collect()))
+    assert auto == ref and not calls
+
+    # a 10-distinct budget forces the bucketed plan; same rows
+    forced = sorted(map(tuple, P.exact_percentiles_stacked(
+        li, ["l_returnflag"], specs, distinct_budget=10).collect()))
+    spark.catalog.clearCache()
+    assert forced == ref and calls
