@@ -66,3 +66,23 @@ def running_user_stats(events: DataFrame,
             timeoutConf=timeout,
         )
     )
+
+
+def user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`running_user_stats`' FINAL state: the same
+    (n_events, total_value, max_value) per user a fully-drained stream
+    converges to — the oracle surface for q112 (stream ≡ batch is
+    asserted in tests/test_stateful_grouped.py). total_value follows the
+    registry's exact-decimal cross-engine sum rule (the stateful
+    operator itself accumulates in float — per-key, order-dependent —
+    which is why the streaming comparison rounds and the ORACLE
+    comparison goes through this builder instead)."""
+    from pyspark.sql import functions as F
+
+    from etl_transparencia_sergipe_spark.plans._helpers import dsum
+
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )

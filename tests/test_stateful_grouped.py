@@ -15,6 +15,7 @@ from etl_transparencia_sergipe_spark.sources.multimodal import (
 from etl_transparencia_sergipe_spark.streaming.pipeline import events_stream
 from etl_transparencia_sergipe_spark.streaming.stateful import (
     running_user_stats,
+    user_stats_batch,
 )
 
 
@@ -27,16 +28,20 @@ def test_stateful_running_user_stats(spark, sf_dir):
     )
     q.processAllAvailable()
     try:
-        # single-file source => one micro-batch => final state per user
+        # single-file source => one micro-batch => final state per user.
+        # Compared against user_stats_batch — q112's oracle surface —
+        # with a 2-decimal round: the stateful op accumulates total in
+        # float (order-dependent), the batch twin in exact decimal.
         got = {
-            r.user_id: (r.n_events, round(r.total_value, 2))
+            r.user_id: (r.n_events, round(r.total_value, 2),
+                        r.max_value)
             for r in spark.sql(
                 "SELECT * FROM t_state").collect()
         }
-        batch = load_table(spark, "events", sf_dir).groupBy("user_id").agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("t"))
-        want = {r.user_id: (r.n, float(r.t)) for r in batch.collect()}
+        batch = user_stats_batch(load_table(spark, "events", sf_dir))
+        want = {r.user_id: (r.n_events, round(r.total_value, 2),
+                            r.max_value)
+                for r in batch.collect()}
         assert got == want
     finally:
         q.stop()
