@@ -22,7 +22,22 @@ A regression is: new > old * (1 + threshold) AND new - old > abs_floor
 (the absolute floor keeps sub-second session noise from tripping the
 gate). Exemptions: ``--allow qname`` or a line in BASELINE.md of the form
 ``bench-regression-ok: qname — reason`` (the documented-note contract).
-Exit status: 0 clean / 1 unexempted regressions / 2 usage error.
+
+``--check-inversions FILE`` (round-10, r9 VERDICT item 3: BOTH of this
+repo's real perf bugs — q39 r8, q05 r9 — manifested as warm>cold
+inversions that the cold-only sf0.1 comparison never saw): reads a bench
+JSON carrying ``queries`` + ``queries_warm`` and flags every query whose
+warm median exceeds ``--inversion-factor`` (default 1.5) x its cold
+time with more than abs_floor of absolute growth. A warm run on an
+emptied block manager should never be materially SLOWER than cold —
+when it is, session state is leaking into the measurement or the engine
+is re-doing work, and that class must fail the gate, not hide under a
+reporting bar. Exempt via ``bench-inversion-ok: qname — reason`` in
+BASELINE.md. Run it on the sf1 tier record too — that is where both
+historical inversions lived.
+
+Exit status: 0 clean / 1 unexempted regressions or inversions /
+2 usage error.
 """
 
 from __future__ import annotations
@@ -87,18 +102,50 @@ def load_bench(path: str, section: str | None) -> dict[str, float]:
     return _parse_markdown(text, section)
 
 
-def baseline_exemptions() -> set[str]:
-    """Query names documented as bench-regression-ok in BASELINE.md."""
+def baseline_exemptions(tag: str = "bench-regression-ok") -> set[str]:
+    """Query names documented under the given exemption tag in
+    BASELINE.md (``bench-regression-ok`` / ``bench-inversion-ok``)."""
     p = ROOT / "BASELINE.md"
     if not p.exists():
         return set()
-    return set(re.findall(r"bench-regression-ok:\s*(q\w+)", p.read_text()))
+    return set(re.findall(rf"{tag}:\s*(q\w+)", p.read_text()))
+
+
+def check_inversions(path: str, factor: float, abs_floor: float,
+                     allow: set[str]) -> int:
+    """Flag warm-median > factor x cold in one bench JSON (docstring:
+    the warm>cold inversion class). Returns count of unexempted flags."""
+    text = Path(path).read_text().lstrip()
+    try:
+        obj = json.loads(text)
+    except json.JSONDecodeError:
+        obj = json.loads(text.splitlines()[0])
+    cold, warm = obj.get("queries"), obj.get("queries_warm")
+    if not cold or not warm:
+        raise ValueError(f"{path}: needs queries + queries_warm")
+    exempt = allow | baseline_exemptions("bench-inversion-ok")
+    flagged, exempted = [], []
+    for q in sorted(set(cold) & set(warm)):
+        c, w = cold[q], warm[q]
+        if w > c * factor and (w - c) > abs_floor:
+            (exempted if q in exempt else flagged).append((q, c, w))
+    print(f"bench_diff inversions: {len(flagged)} flagged | "
+          f"{len(exempted)} exempted (warm > {factor:.2f}x cold)")
+    for q, c, w in exempted:
+        print(f"  EXEMPT  {q}: cold {c:.3f}s, warm {w:.3f}s "
+              f"({w / c:.2f}x, documented)")
+    for q, c, w in flagged:
+        print(f"  INVERT  {q}: cold {c:.3f}s, warm {w:.3f}s "
+              f"({w / c:.2f}x) — a warm run on an emptied block manager "
+              f"must not be slower; root-cause it or add "
+              f"'bench-inversion-ok: {q} — reason' to BASELINE.md")
+    return len(flagged)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
+    ap.add_argument("old", nargs="?")
+    ap.add_argument("new", nargs="?")
     ap.add_argument("--threshold", type=float, default=0.30)
     ap.add_argument("--abs-floor", type=float, default=0.25,
                     help="seconds of absolute growth below which a "
@@ -106,8 +153,26 @@ def main() -> int:
     ap.add_argument("--section", default=None,
                     help="regex picking the markdown table by heading")
     ap.add_argument("--allow", action="append", default=[])
+    ap.add_argument("--check-inversions", default=None, metavar="FILE",
+                    help="bench JSON (queries + queries_warm) to scan "
+                         "for warm>cold inversions")
+    ap.add_argument("--inversion-factor", type=float, default=1.5)
     args = ap.parse_args()
 
+    inv_flagged = 0
+    if args.check_inversions:
+        try:
+            inv_flagged = check_inversions(
+                args.check_inversions, args.inversion_factor,
+                args.abs_floor, set(args.allow))
+        except (ValueError, json.JSONDecodeError) as e:
+            print(f"bench_diff: {e}", file=sys.stderr)
+            return 2
+        if not (args.old and args.new):
+            return 1 if inv_flagged else 0
+
+    if not (args.old and args.new):
+        ap.error("OLD and NEW required unless --check-inversions alone")
     try:
         old = load_bench(args.old, args.section)
         new = load_bench(args.new, args.section)
@@ -144,7 +209,7 @@ def main() -> int:
         print(f"  dropped from new run: {sorted(only_old)}")
     if only_new:
         print(f"  new queries (no prior): {sorted(only_new)}")
-    return 1 if regressions else 0
+    return 1 if (regressions or inv_flagged) else 0
 
 
 if __name__ == "__main__":
