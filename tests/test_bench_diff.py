@@ -81,3 +81,50 @@ def test_mismatched_query_sets_reported_not_fatal(tmp_path):
     r = _run(str(old), str(new))
     assert r.returncode == 0
     assert "q03" in r.stdout and "q04" in r.stdout
+
+
+def _write_warm_json(p, cold, warm):
+    p.write_text(json.dumps({"metric": "bench", "value": sum(cold.values()),
+                             "queries": cold, "queries_warm": warm,
+                             "sf": 1.0}) + "\n")
+
+
+def test_inversion_flagged(tmp_path):
+    """warm > 1.5x cold with >abs-floor growth fails the gate (the q39
+    r8 / q05 r9 signature)."""
+    rec = tmp_path / "bench.json"
+    _write_warm_json(rec, {"q05": 2.309, "q06": 1.0},
+                     {"q05": 6.906, "q06": 0.7})
+    r = _run("--check-inversions", str(rec))
+    assert r.returncode == 1
+    assert "INVERT  q05" in r.stdout and "q06" not in r.stdout
+
+
+def test_inversion_clean_and_floor(tmp_path):
+    """Healthy warm<=cold passes; a 2x inversion on a 0.1s query is
+    under the absolute floor and passes too."""
+    rec = tmp_path / "bench.json"
+    _write_warm_json(rec, {"q01": 1.0, "q02": 0.10},
+                     {"q01": 0.8, "q02": 0.20})
+    r = _run("--check-inversions", str(rec))
+    assert r.returncode == 0
+    assert "0 flagged" in r.stdout
+
+
+def test_inversion_allow_exempts(tmp_path):
+    rec = tmp_path / "bench.json"
+    _write_warm_json(rec, {"q05": 2.0}, {"q05": 6.9})
+    r = _run("--check-inversions", str(rec), "--allow", "q05")
+    assert r.returncode == 0
+    assert "EXEMPT" in r.stdout
+
+
+def test_inversion_composes_with_comparison(tmp_path):
+    """--check-inversions plus OLD/NEW: a clean comparison still fails
+    when the new record carries an inversion."""
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    _write_json(old, {"q05": 2.0})
+    _write_warm_json(new, {"q05": 2.0}, {"q05": 6.9})
+    r = _run(str(old), str(new), "--check-inversions", str(new))
+    assert r.returncode == 1
+    assert "INVERT  q05" in r.stdout and "0 regressions" in r.stdout
