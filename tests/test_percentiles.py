@@ -124,3 +124,17 @@ def test_auto_select_is_a_plan_decision(spark, monkeypatch):
         li, ["l_returnflag"], specs, distinct_budget=10).collect()))
     spark.catalog.clearCache()
     assert forced == ref and calls
+
+
+def test_auto_select_empty_and_all_null(spark):
+    """The estimate returns NULL on an empty/all-null frame — auto mode
+    must fall back to the windowed path, not crash."""
+    from etl_transparencia_sergipe_spark.operators.percentiles import (
+        exact_percentiles_stacked,
+    )
+
+    specs = [("v", [0.5], ["med"])]
+    empty = spark.createDataFrame([], "g string, v double")
+    assert exact_percentiles_stacked(empty, ["g"], specs).collect() == []
+    nulls = spark.createDataFrame([("a", None)], "g string, v double")
+    assert exact_percentiles_stacked(nulls, ["g"], specs).collect() == []
