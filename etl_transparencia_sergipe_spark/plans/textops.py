@@ -1118,12 +1118,35 @@ _SPAN_W = 16
         "per-fingerprint window, so a corpus-wide boilerplate w-gram "
         "cannot pin one task); the islands window partitions per "
         "doc_id — bounded by document length, no global sort. "
-        "fp_bits=128 (reversed-slice second channel) is the ~1e12-"
+        "fp_bits=128 (element-rehashed second channel) is the ~1e12-"
         "window posture [EXT].",
 )
 def q110_substring_dedup_spans(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     return substring_dedup_spans(load(spark, "documents", sf_dir))
+
+
+def span_fp_expr(sl: str, fp_bits: int) -> str:
+    """SQL fingerprint expression over a slice of per-token xxhash64
+    values (``sl`` is an array<bigint>-typed SQL fragment).
+
+    64: one xxhash64 over the slice. 128: a 2-field struct whose second
+    channel hashes the ELEMENT-REHASHED slice — NOT the reversed slice:
+    reverse() is the identity on palindromic slices (runs of one
+    repeated token, i.e. boilerplate), which would collapse h2 to h1 and
+    leave exactly those windows with only 64-bit collision protection
+    (round-10 ADVICE). Rehashing each element first feeds h2 different
+    bytes wherever the raw slices differ, palindromic or not; a struct
+    key keeps the grouping/join pipeline shape identical to 64-bit.
+    Module-level so tests can pin the channel-independence property
+    directly (tests/test_substring_spans.py).
+    """
+    if fp_bits == 64:
+        return f"xxhash64({sl})"
+    if fp_bits == 128:
+        return (f"struct(xxhash64({sl}) AS h1, "
+                f"xxhash64(transform({sl}, x -> xxhash64(x))) AS h2)")
+    raise ValueError(f"fp_bits must be 64 or 128, got {fp_bits}")
 
 
 def substring_dedup_spans(docs: DataFrame, w: int = _SPAN_W,
@@ -1135,13 +1158,20 @@ def substring_dedup_spans(docs: DataFrame, w: int = _SPAN_W,
     over the slice of per-token hashes — ~4e-5 expected collisions over
     sf1's ~37M windows. 128 is the 100-TB posture (~1e12 windows would
     see ~30k spurious merges at 64 bits): a SECOND decorrelated channel
-    hashes the REVERSED slice, so two windows merge only if both 64-bit
-    hashes collide (~1e-15 at 1e12 windows). Spark's xxhash64 has a
-    FIXED seed (42) and multi-arg calls chain the running hash as the
-    next seed — so `xxhash64(sl, lit(1))` is a deterministic function
-    of `xxhash64(sl)` alone and adds NO independence (round-9 ADVICE);
-    reversing the input produces a genuinely different hash function
-    over the same bytes.
+    hashes the ELEMENT-REHASHED slice (``xxhash64(transform(sl, x ->
+    xxhash64(x)))``), so two windows merge only if both 64-bit hashes
+    collide (~1e-15 at 1e12 windows). Spark's xxhash64 has a FIXED seed
+    (42) and multi-arg calls chain the running hash as the next seed —
+    so ``xxhash64(sl, lit(1))`` is a deterministic function of
+    ``xxhash64(sl)`` alone and adds NO independence (round-9 ADVICE).
+    The intermediate ``xxhash64(reverse(sl))`` design fell to round-10
+    ADVICE: reverse() is the identity on palindromic slices — notably
+    runs of one repeated token, i.e. exactly the boilerplate these
+    fingerprints exist to merge — collapsing those windows back to
+    64-bit protection. Rehashing each element first keeps the channels
+    independent on every input class: wherever the raw slices differ,
+    the rehashed arrays differ at the same position (up to an
+    element-level xxhash64 collision).
     """
     from pyspark.sql import Window as W
 
@@ -1163,16 +1193,7 @@ def substring_dedup_spans(docs: DataFrame, w: int = _SPAN_W,
     # of md5 over a rebuilt ~100-byte string per position — measured
     # 22.0 s -> see BASELINE round-9 (the md5+array_join pass dominated
     # the corpus-position explosion).
-    sl = f"slice(th, i + 1, {w})"
-    if fp_bits == 64:
-        fp_expr = f"xxhash64({sl})"
-    elif fp_bits == 128:
-        # struct key: grouping/join on a 2-field struct keeps the whole
-        # pipeline shape identical to the 64-bit path
-        fp_expr = (f"struct(xxhash64({sl}) AS h1, "
-                   f"xxhash64(reverse({sl})) AS h2)")
-    else:
-        raise ValueError(f"fp_bits must be 64 or 128, got {fp_bits}")
+    fp_expr = span_fp_expr(f"slice(th, i + 1, {w})", fp_bits)
     win = (tok.filter(F.size("toks") >= w)
            .selectExpr("doc_id", "source",
                        "transform(toks, t -> xxhash64(t)) AS th")

@@ -62,6 +62,31 @@ def test_fp128_identical_on_testdata(spark, sf_dir):
     assert a == b
 
 
+def test_fp128_channels_independent_on_palindromes(spark):
+    # round-10 ADVICE: the earlier xxhash64(reverse(sl)) second channel
+    # degenerates to h2 == h1 on palindromic hash slices — runs of one
+    # repeated token, i.e. exactly the boilerplate these fingerprints
+    # exist to merge. The element-rehashed channel must stay independent
+    # there: evaluate the exact production expression over palindromic
+    # slices (all-equal elements and a mirrored run) plus ordinary ones.
+    from etl_transparencia_sergipe_spark.plans.textops import span_fp_expr
+
+    fp = span_fp_expr("th", 128)
+    rows = (spark.createDataFrame(
+        [("rep", ["z"] * 16),                      # all-equal run
+         ("mir", list("abcdefgh") + list("hgfedcba")),  # mirrored
+         ("ord", [f"t{i}" for i in range(16)])],   # ordinary
+        "kind string, toks array<string>")
+        .selectExpr("kind", "transform(toks, t -> xxhash64(t)) AS th")
+        .selectExpr("kind", f"{fp} AS fp")
+        .collect())
+    got = {r.kind: r.fp for r in rows}
+    for kind, f in got.items():
+        assert f.h1 != f.h2, f"{kind}: second channel degenerated"
+    # and the channel is a different function, not a copy, across rows
+    assert len({f.h2 for f in got.values()}) == 3
+
+
 def test_fp_bits_validated(spark):
     df = spark.createDataFrame([("d", "s", "a b c")], SCHEMA)
     with pytest.raises(ValueError, match="fp_bits"):

@@ -111,6 +111,53 @@ def baseline_exemptions(tag: str = "bench-regression-ok") -> set[str]:
     return set(re.findall(rf"{tag}:\s*(q\w+)", p.read_text()))
 
 
+def load_box(path: str) -> dict | None:
+    """Box-state record (bench.py's round-11 ``box`` field: loadavg,
+    wall-vs-CPU, other-process busy fraction) from a bench JSON —
+    looking inside a driver-wrapper ``tail`` string when needed.
+    Returns None for markdown inputs or pre-r11 records."""
+    try:
+        text = Path(path).read_text().lstrip()
+        if not text.startswith("{"):
+            return None
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError:
+            obj = json.loads(text.splitlines()[0])
+        if isinstance(obj.get("box"), dict):
+            return obj["box"]
+        # box holds scalars and flat lists only, so a brace-free regex
+        # is enough to cut it out of a truncated driver tail
+        m = re.search(r'"box":\s*(\{[^{}]*\})', obj.get("tail", ""))
+        return json.loads(m.group(1)) if m else None
+    except (OSError, ValueError):
+        return None
+
+
+def annotate_box(label: str, path: str, load_max: float,
+                 other_max: float) -> bool:
+    """Print one box-state line for a compared run; returns True when the
+    run was contended (start loadavg or other-process CPU above the
+    thresholds) — the r10 driver-record-vs-idle-replication class."""
+    box = load_box(path)
+    if box is None:
+        print(f"  box[{label}]: no box-state record in {path} "
+              f"(pre-r11 bench or markdown input)")
+        return False
+    la = float((box.get("loadavg_before") or [0.0])[0])
+    other = float(box.get("other_busy_frac") or 0.0)
+    flags = []
+    if la > load_max:
+        flags.append(f"start loadavg {la:.2f} > {load_max:g}")
+    if other > other_max:
+        flags.append(f"other-process cpu {other:.1%} > {other_max:.0%}")
+    state = ("CONTENDED — comparison unreliable: " + "; ".join(flags)
+             if flags else "idle")
+    print(f"  box[{label}]: {state} (load {la:.2f}, "
+          f"other {other:.1%}, wall {box.get('wall_sec', '?')}s)")
+    return bool(flags)
+
+
 def check_inversions(path: str, factor: float, abs_floor: float,
                      allow: set[str]) -> int:
     """Flag warm-median > factor x cold in one bench JSON (docstring:
@@ -157,7 +204,19 @@ def main() -> int:
                     help="bench JSON (queries + queries_warm) to scan "
                          "for warm>cold inversions")
     ap.add_argument("--inversion-factor", type=float, default=1.5)
+    ap.add_argument("--load-max", type=float, default=2.0,
+                    help="start 1-min loadavg above which a compared "
+                         "run is annotated CONTENDED")
+    ap.add_argument("--other-busy-max", type=float, default=0.05,
+                    help="other-process CPU fraction above which a "
+                         "compared run is annotated CONTENDED")
     args = ap.parse_args()
+
+    # exactly ONE positional is always a miswritten invocation (e.g. NEW
+    # forgotten) — refuse instead of silently skipping the comparison
+    if bool(args.old) != bool(args.new):
+        ap.error("exactly one of OLD/NEW given — pass both, or neither "
+                 "with --check-inversions")
 
     inv_flagged = 0
     if args.check_inversions:
@@ -165,8 +224,9 @@ def main() -> int:
             inv_flagged = check_inversions(
                 args.check_inversions, args.inversion_factor,
                 args.abs_floor, set(args.allow))
-        except (ValueError, json.JSONDecodeError) as e:
-            print(f"bench_diff: {e}", file=sys.stderr)
+        except (ValueError, OSError, IndexError,
+                json.JSONDecodeError) as e:
+            print(f"bench_diff: {e!r}", file=sys.stderr)
             return 2
         if not (args.old and args.new):
             return 1 if inv_flagged else 0
@@ -196,6 +256,8 @@ def main() -> int:
     print(f"bench_diff: {len(shared)} shared queries | "
           f"{len(regressions)} regressions | {len(exempted)} exempted | "
           f"{improved} improved >{args.threshold:.0%}")
+    annotate_box("old", args.old, args.load_max, args.other_busy_max)
+    annotate_box("new", args.new, args.load_max, args.other_busy_max)
     for q, o, n in exempted:
         print(f"  EXEMPT  {q}: {o:.3f}s -> {n:.3f}s "
               f"({n / o:.2f}x, documented)")
