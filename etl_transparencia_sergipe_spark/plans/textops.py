@@ -871,28 +871,38 @@ from etl_transparencia_sergipe_spark.operators.dedup import (  # noqa: E402
         "integer-exact so the oracle hash is bit-stable [EXT].",
 )
 def q82_dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
     from etl_transparencia_sergipe_spark.operators.dedup import shingle_rows
 
     docs = load(spark, "documents", sf_dir)
     # distinct (doc, shingle) rows via the codegen shingler (may emit
     # within-doc duplicates -> explicit distinct, matching the oracle's
-    # COUNT(DISTINCT ...) semantics)
+    # COUNT(DISTINCT ...) semantics); persisted because three branches
+    # consume it (per-doc totals, corpus shingle counts, the dup probe) —
+    # the module policy single-text-scan guarantee
     sh = (shingle_rows(docs, "doc_id", "text", _DUPFRAC_N)
-          .distinct())
-    # count-over-window instead of groupBy(s)+join-back: rows are unique
-    # per (doc, s), so COUNT(*) OVER (PARTITION BY s) IS n_docs_with —
-    # single text scan, no self-join, no broadcast of an unbounded
-    # shingle-count frame (the join formulation re-computed the whole
-    # shingle stream on both branches: 2 scans -> 1)
-    sh2 = sh.withColumn(
-        "n_docs_with", F.count("*").over(W.partitionBy("s")))
+          .distinct()
+          .transform(persist_scoped))
+    # Round-11 de-skew (r10 VERDICT item 1, the q110 shape): round-10
+    # used COUNT(*) OVER (PARTITION BY s) here — rows unique per (doc, s)
+    # make that count n_docs_with without a join, but a corpus-universal
+    # boilerplate shingle materializes EVERY doc's row in ONE window task
+    # at 100x (window exec gets neither map-side partial aggregation nor
+    # AQE skew splitting). The hash-agg pays the same s-keyed exchange,
+    # partial-aggregates map-side (a hot shingle is one row after it),
+    # and only DUPLICATED shingles survive into the join probe, which is
+    # a left-semi both sides keyed on s — co-partitioned and
+    # AQE-skew-splittable. The historical broadcast-OOM objection was to
+    # broadcasting an unbounded all-shingle count frame; nothing is
+    # broadcast here and the nd>1 filter shrinks the probe side besides.
+    dup_s = (sh.groupBy("s").agg(F.count("*").alias("nd"))
+             .filter("nd > 1").select("s"))
+    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    n_dup = (sh.join(dup_s, "s", "left_semi")
+             .groupBy("doc_id").agg(F.count("*").alias("n_dup_shingles")))
     per_doc = (
-        sh2.groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"),
-             F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
-             .alias("n_dup_shingles"))
+        n_sh.join(n_dup, "doc_id", "left")
+        .na.fill(0, ["n_dup_shingles"])
         .join(docs.select("doc_id", "source"), "doc_id")
     )
     return per_doc.groupBy("source").agg(
@@ -958,6 +968,27 @@ def q83_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_TOKENS = 16
 
 
+def chunk_fingerprints(docs: DataFrame, c: int = _CHUNK_TOKENS) -> DataFrame:
+    """(doc_id, source, fp) — one md5 fingerprint per aligned c-token
+    chunk, with ONE tokenization per doc: the token array materializes in
+    its own projection, then a second projection chunks it. Inlining the
+    split into the transform lambda re-ran the regex split once PER CHUNK
+    (a subexpression inside a higher-order-function lambda evaluates per
+    element; codegen CSE cannot hoist it out), and CollapseProject would
+    have rebuilt exactly that — but it declines to collapse when a
+    non-cheap expression would be duplicated, so the two-step select
+    keeps split() evaluated once (asserted in tests/test_chunk_plan.py;
+    chunk stage 3.7 s -> 1.2 s warm at sf1)."""
+    return (
+        docs.selectExpr("doc_id", "source",
+                        f"{tokens_spark('text')} AS toks")
+        .selectExpr(
+            "doc_id", "source",
+            f"explode(transform(sequence(0, (size(toks) - 1) div {c}), "
+            f"i -> md5(array_join(slice(toks, i * {c} + 1, {c}), ' ')))) "
+            "AS fp"))
+
+
 @register(
     "q84_chunk_dedup",
     oracle=f"""
@@ -1000,45 +1031,43 @@ _CHUNK_TOKENS = 16
         "[EXT].",
 )
 def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load(spark, "documents", sf_dir)
-    c = _CHUNK_TOKENS
-    # chunk fingerprints with ONE tokenization per doc: materialize the
-    # token array in its own projection, then chunk it in a second one.
-    # Inlining the split into the transform lambda re-ran the regex split
-    # once PER CHUNK (a subexpression inside a higher-order-function
-    # lambda evaluates per element; codegen CSE cannot hoist it out), and
-    # CollapseProject would have rebuilt exactly that — but it declines
-    # to collapse when a non-cheap expression would be duplicated, so the
-    # two-step select keeps split() evaluated once (asserted in
-    # tests/test_chunk_plan.py; chunk stage 3.7 s -> 1.2 s warm at sf1).
-    ch = (
-        docs.selectExpr("doc_id", "source",
-                        f"{tokens_spark('text')} AS toks")
-        .selectExpr(
-            "doc_id", "source",
-            f"explode(transform(sequence(0, (size(toks) - 1) div {c}), "
-            f"i -> md5(array_join(slice(toks, i * {c} + 1, {c}), ' ')))) "
-            "AS fp"))
-    # partial-agg to one row per (fp, doc); then COUNT(*) OVER fp is
-    # n_docs_with and SUM(n) OVER fp is n_occ — single text scan, no
-    # count-back join (the join formulation recomputed the chunk stream
-    # on both branches AND broadcast a frame that is ~n_chunks rows at
-    # scale: a 100 TB OOM shape)
-    pd = ch.groupBy("fp", "doc_id", "source").agg(F.count("*").alias("n"))
-    w = W.partitionBy("fp")
-    pd2 = pd.withColumn("n_occ", F.sum("n").over(w)) \
-            .withColumn("n_docs_with", F.count("*").over(w))
+    ch = chunk_fingerprints(docs)
+    # partial-agg to one row per (fp, doc) — single text scan (persisted;
+    # two branches below). Round-11 de-skew (r10 VERDICT item 1, the q110
+    # shape): round-10 attached n_occ/n_docs_with via SUM/COUNT OVER
+    # (PARTITION BY fp) — a corpus-universal boilerplate chunk puts every
+    # doc's (fp, doc) row in ONE window task at 100x, with no map-side
+    # partial agg and no AQE skew handling. The hash-agg + join-back pays
+    # the same fp-keyed exchange but partial-aggregates map-side, and
+    # only fps with n_occ > 1 (which subsumes n_docs_with > 1) survive
+    # into the join, whose sides are both keyed on fp — co-partitioned,
+    # AQE-skew-splittable, nothing broadcast (the old rejection rationale
+    # targeted broadcasting an all-chunk count frame, a 100 TB OOM shape;
+    # this broadcasts nothing).
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+    pd = (ch.groupBy("fp", "doc_id", "source").agg(F.count("*").alias("n"))
+          .transform(persist_scoped))
+    base = pd.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_chunks"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_chunks"))
+    dupfp = (pd.groupBy("fp")
+             .agg(F.sum("n").alias("n_occ"),
+                  F.count("*").alias("n_docs_with"))
+             .filter("n_occ > 1"))
+    dup = (pd.join(dupfp, "fp")
+           .groupBy("source")
+           .agg(F.sum(F.when(F.col("n_docs_with") > 1, F.col("n"))
+                      .otherwise(0))
+                .cast("bigint").alias("n_cross_doc_dup_chunks"),
+                F.sum("n").cast("bigint").alias("n_dup_occurrences")))
     return (
-        pd2.groupBy("source")
-        .agg(F.sum("n").cast("bigint").alias("n_chunks"),
-             F.countDistinct("fp").cast("bigint").alias("n_distinct_chunks"),
-             F.sum(F.when(F.col("n_docs_with") > 1, F.col("n"))
-                   .otherwise(0))
-             .cast("bigint").alias("n_cross_doc_dup_chunks"),
-             F.sum(F.when(F.col("n_occ") > 1, F.col("n")).otherwise(0))
-             .cast("bigint").alias("n_dup_occurrences"))
+        base.join(dup, "source", "left")
+        .select("source", "n_chunks", "n_distinct_chunks",
+                F.coalesce("n_cross_doc_dup_chunks", F.lit(0))
+                .cast("bigint").alias("n_cross_doc_dup_chunks"),
+                F.coalesce("n_dup_occurrences", F.lit(0))
+                .cast("bigint").alias("n_dup_occurrences"))
     )
 
 
@@ -1302,17 +1331,28 @@ def q85_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load(spark, "documents", sf_dir)
+    from etl_transparencia_sergipe_spark.caching import persist_scoped
+
     tok = docs.selectExpr(
         "doc_id", "source", f"explode({tokens_spark('text')}) AS t")
-    # one shared partial-agg to (t, doc) granularity; COUNT(*) OVER t is
-    # the document frequency (rows unique per (t, doc)) — single text
-    # scan instead of recomputing the token stream for tf and df
-    td = tok.groupBy("t", "source", "doc_id").agg(F.count("*").alias("n"))
-    from pyspark.sql import Window as W
-
-    td2 = td.withColumn("n_df", F.count("*").over(W.partitionBy("t")))
-    tf = (td2.groupBy("source", "t")
-          .agg(F.sum("n").alias("n_tf"), F.max("n_df").alias("n_df")))
+    # one shared partial-agg to (t, doc) granularity, persisted so the tf
+    # and df branches share a single text scan. Round-11 de-skew (r10
+    # VERDICT item 1): round-10 attached the document frequency as
+    # COUNT(*) OVER (PARTITION BY t) — rows unique per (t, doc) make that
+    # n_df, but a stopword-class term present in EVERY doc materializes
+    # ~n_docs rows in ONE window task at 100x (no map-side partial agg,
+    # no AQE skew handling in window exec). Both branches here hash-agg
+    # to vocab-sized frames first — a corpus-universal term is ONE row on
+    # each side after partial aggregation — and the df-to-tf join keys
+    # both sides on t: co-partitioned, AQE-skew-splittable, nothing
+    # broadcast. df needs counts for ALL terms (no nd>1 shrink — every
+    # tfidf denominator uses it), so the join side stays vocab-sized:
+    # exactly the q110 shape minus the filter.
+    td = (tok.groupBy("t", "source", "doc_id").agg(F.count("*").alias("n"))
+          .transform(persist_scoped))
+    dfc = td.groupBy("t").agg(F.count("*").alias("n_df"))
+    tf = (td.groupBy("source", "t").agg(F.sum("n").alias("n_tf"))
+          .join(dfc, "t"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.crossJoin(F.broadcast(n))
