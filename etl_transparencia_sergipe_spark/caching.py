@@ -67,22 +67,43 @@ def release_persistent_rdds(spark: SparkSession) -> None:
     unpersist_rdd_ids(spark, persistent_rdd_ids(spark))
 
 
+def checkpoint_rdd_id(df: DataFrame) -> int:
+    """The block-manager RDD id persisted by a ``checkpoint()`` /
+    ``localCheckpoint()`` result — read DIRECTLY off the returned
+    Dataset, never inferred from session-global state.
+
+    A checkpointed Dataset's analyzed plan is exactly one ``LogicalRDD``
+    node wrapping the internal RDD the checkpoint persisted (lazy
+    checkpoints register that persist at BUILD time, before any action),
+    so its case-class accessor gives the precise id. This replaces the
+    round-8..10 before/after ``getPersistentRDDs`` snapshot diffing in
+    the iterative operators (components.py, bpe.py), which read
+    SESSION-GLOBAL state: a concurrent query's cache or checkpoint
+    registering inside a snapshot window landed in the caller's
+    ``created`` set and was unpersisted a round later while still live —
+    and a localCheckpoint has no lineage to recompute from, so the
+    concurrent job FAILED, not slowed (round-9 ADVICE; the round-10
+    edge-cache eviction bug was the same window-pollution class).
+    Tracking the exact id makes eviction immune to anything else the
+    session does concurrently (tests/test_caching_concurrent.py).
+
+    Raises ``ValueError`` if ``df`` is not a checkpoint result — eviction
+    must never guess.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() != "LogicalRDD":
+        raise ValueError(
+            f"checkpoint_rdd_id expects a checkpoint()/localCheckpoint() "
+            f"result (LogicalRDD plan), got {plan.getClass().getName()}")
+    return int(plan.rdd().id())
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every RDD currently registered with the block manager —
-    plan-level caches AND localCheckpoint data.
-
-    SINGLE-THREADED ASSUMPTION (round-9 ADVICE): the before/after
-    snapshot-diffing pattern built on this (components.py, bpe.py) reads
-    SESSION-GLOBAL state. If another query runs concurrently in the same
-    SparkSession, ids it registers inside a window land in the caller's
-    ``created`` set and get unpersisted a round later while still live —
-    and a localCheckpoint has no lineage to recompute from, so the
-    concurrent job FAILS, not slows. The iterative operators therefore
-    require that no other query materializes checkpoints/caches in this
-    session while they iterate (true for the bench/driver harnesses and
-    the documented one-query-at-a-time production posture; a
-    multi-tenant driver must serialize CC/BPE runs or give each tenant
-    its own session)."""
+    plan-level caches AND localCheckpoint data. Session-global: used only
+    for whole-session release (:func:`release_persistent_rdds`); per-
+    checkpoint eviction tracks exact ids via :func:`checkpoint_rdd_id`
+    instead."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(k) for k in jmap.keySet().toArray()}
 

@@ -100,16 +100,19 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
     # materializing action, so each round runs ONE job instead of
     # checkpoint-then-count
     from etl_transparencia_sergipe_spark.caching import (
-        persistent_rdd_ids,
+        checkpoint_rdd_id,
         unpersist_rdd_ids,
     )
 
-    before = persistent_rdd_ids(spark)
     words = words.localCheckpoint(eager=False)
     # a LAZY checkpoint still references its predecessor until the next
     # collect materializes it — so each round frees the checkpoint from
-    # TWO rounds back (live = materialized, pending = registered)
-    pending_ids = persistent_rdd_ids(spark) - before
+    # TWO rounds back (live = materialized, pending = registered). Ids
+    # are read DIRECTLY off each checkpointed Dataset (caching.py
+    # checkpoint_rdd_id) — the former session-global snapshot diffing
+    # captured concurrent queries' registrations and evicted them with
+    # no lineage to recover (round-9 ADVICE).
+    pending_ids = {checkpoint_rdd_id(words)}
     live_ids: set[int] = set()
 
     merges: list[dict] = []
@@ -139,10 +142,9 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
         merges.append({"rank": rank, "left": l, "right": r,
                        "merged": l + r, "pair_count": cnt})
-        before = persistent_rdd_ids(spark)
         words = (words.selectExpr("freq", f"{_merge_fold(l, r)} AS syms")
                  .localCheckpoint(eager=False))
-        pending_ids = persistent_rdd_ids(spark) - before
+        pending_ids = {checkpoint_rdd_id(words)}
     return merges
 
 

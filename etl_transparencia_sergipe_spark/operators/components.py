@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 # executors' unified memory pool and evict useful state). Each round
 # below frees the superseded round's blocks eagerly instead.
 from etl_transparencia_sergipe_spark.caching import (
+    checkpoint_rdd_id as _checkpoint_rdd_id,
     persistent_rdd_ids as _persistent_rdd_ids,
     unpersist_rdd_ids as _unpersist_rdd_ids,
 )
@@ -62,31 +63,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .cache()
     )
-    # Register the edge cache's buffer RDD BEFORE opening the tracked-id
-    # window: merely BUILDING a dependent plan registers it (toRdd forces
-    # physical planning, which persists the InMemoryRelation buffer —
-    # verified: lazy checkpoints register BOTH ids at build time), so
-    # without this count the first window below captures the edge-cache
-    # id alongside the initial checkpoint's, and round 1's eviction
-    # silently drops the cache — every later round then recomputes the
-    # union+distinct edge shuffle (round-9 ADVICE; pinned by
-    # test_components_edge_cache_survives_rounds). One cheap extra job
-    # over work every round reads anyway.
-    edges.count()
-    before = _persistent_rdd_ids(spark) if local else set()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .transform(truncate)
     )
-    # ids registered by THIS call's most recent truncate — superseded
-    # (and freed) as soon as the next round's checkpoint materializes
-    round_ids = (_persistent_rdd_ids(spark) - before) if local else set()
+    # id registered by THIS call's most recent truncate — superseded
+    # (and freed) as soon as the next round's checkpoint materializes.
+    # Read DIRECTLY off the checkpointed Dataset (caching.py
+    # checkpoint_rdd_id): rounds 8-10 diffed session-global
+    # getPersistentRDDs snapshots here, which captured anything else the
+    # session registered inside the window — the round-10 edge-cache
+    # eviction bug, and a correctness hazard under concurrent queries
+    # (a foreign checkpoint in the window got evicted with no lineage to
+    # recover). Exact ids are immune to both; no pre-materialization of
+    # the edges cache is needed anymore (its buffer RDD can register
+    # whenever planning touches it — it is never in an eviction set).
+    round_ids = {_checkpoint_rdd_id(labels)} if local else set()
     for _ in range(max_iter):
-        # lazy localCheckpoint REGISTERS its persist at build time (the
-        # transform below), so the created-ids window opens here
-        before = _persistent_rdd_ids(spark) if local else set()
         # hop 1: min over neighbors' labels and own
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -125,13 +120,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             # count together) instead of checkpoint + join + take(1)
             .transform(lambda df: truncate(df, eager=False))
         )
+        created = {_checkpoint_rdd_id(updated)} if local else set()
         changed = updated.filter("component != old_component").count()
         labels = updated.select("node", "component")
         if local:
             # the count() above materialized this round's checkpoint —
             # the previous round's blocks are dead weight from here
-            created = _persistent_rdd_ids(spark) - before
-            _unpersist_rdd_ids(spark, round_ids - created)
+            _unpersist_rdd_ids(spark, round_ids)
             round_ids = created
         if changed == 0:
             break
