@@ -230,12 +230,31 @@ def q90_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_bound_check(sdf) -> str | None:
+    """q92's bounded-error gate (round-11, r10 VERDICT item 4): every
+    day's self-reported rel_err must stay within 3x the lgK=12 HLL rsd
+    (1.04/sqrt(2^12) = 0.01625; 3x = 0.0488 — a >3-sigma miss on any day
+    means the sketch pipeline is broken, not unlucky), and the exact
+    column must be positive so the ratio is meaningful."""
+    if len(sdf) == 0:
+        return "empty result"
+    if (sdf["n_active_7d_exact"] <= 0).any():
+        return "non-positive exact count"
+    worst = float(sdf["rel_err"].max())
+    bound = 3 * 1.04 / (1 << 12) ** 0.5
+    if worst > bound:
+        return (f"max rel_err {worst:.4f} > {bound:.4f} "
+                f"(3x lgK=12 rsd)")
+    return None
+
+
 @register(
     "q92_rolling_active_hll",
     oracle=None,  # Apache DataSketches HLL state isn't SQL-reproducible in
     # DuckDB — rows-only; the plan self-reports its error vs the exact
     # count (q90's semantics) per day, so the gate still certifies
     # estimator QUALITY, the q63 recall pattern
+    bound_check=lambda sdf, con: _hll_bound_check(sdf),
     doc="A8 mergeable-sketch rolling actives: per-day HLL sketches "
         "(hll_sketch_agg) unioned over the trailing 7 days "
         "(hll_union_agg) — the pre-aggregation that makes rolling "

@@ -36,18 +36,29 @@ class QueryDef:
     # is unchanged: oracle_sql() still publishes the SQL string, and the
     # driver runs it at sf0.01 where it is cheap.
     oracle_py: Callable | None = None
+    # Optional bounded-error verifier for rows-only-by-design queries
+    # (round-11, r10 VERDICT item 4): ``(result_pandas, duckdb_con) ->
+    # str | None`` — None passes, a string FAILS the local gate with that
+    # message. Turns "rows-only by design" into "bounded-error verified":
+    # an approximate query whose estimate drifts outside its documented
+    # error bound now fails tools/check_correctness.py instead of
+    # printing an unexamined ROWS line. The driver contract is unchanged
+    # (it still records rows-only for these).
+    bound_check: Callable | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = "",
-             oracle_py: Callable | None = None):
+             oracle_py: Callable | None = None,
+             bound_check: Callable | None = None):
     """Decorator: add a builder to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QueryDef(name=name, build=fn, oracle=oracle,
-                                  doc=doc, oracle_py=oracle_py)
+                                  doc=doc, oracle_py=oracle_py,
+                                  bound_check=bound_check)
         return fn
 
     return deco

@@ -359,7 +359,10 @@ def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_approx_aggregates",
     oracle=None,  # approximate by design — engines use different sketches
     doc="A8 approx_count_distinct (HLL) + approx percentile — rows-only "
-        "(sketch values are engine-specific by design)",
+        "(sketch values are engine-specific by design); the local gate "
+        "bound-checks both estimates against DuckDB's exact twins "
+        "(3x rsd for the HLL count, [p49, p51] for the median)",
+    bound_check=lambda sdf, con: _q43_bound_check(sdf, con),
 )
 def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
@@ -367,6 +370,39 @@ def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
     )
+
+
+def _q43_bound_check(sdf, con) -> str | None:
+    """q43's bounded-error gate (round-11, r10 VERDICT item 4): each
+    group's approx_count_distinct must sit within 3x its default
+    rsd (0.05 -> 15%) of DuckDB's exact distinct count, and each
+    percentile_approx median must land between the exact p49 and p51
+    (default accuracy 10000 bounds rank error at 1e-4; the 1%-rank
+    margin is the generous machine-checkable envelope, robust to ties)."""
+    ex = con.execute("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               quantile_cont(l_extendedprice, 0.49) AS lo,
+               quantile_cont(l_extendedprice, 0.51) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    """).fetchdf().set_index("l_returnflag")
+    errs = []
+    if len(sdf) != len(ex):
+        errs.append(f"group count {len(sdf)} != exact {len(ex)}")
+    for r in sdf.itertuples(index=False):
+        if r.l_returnflag not in ex.index:
+            errs.append(f"unexpected group {r.l_returnflag!r}")
+            continue
+        e = ex.loc[r.l_returnflag]
+        rel = abs(r.approx_parts - e.exact_parts) / e.exact_parts
+        if rel > 0.15:
+            errs.append(f"{r.l_returnflag}: approx_parts rel err "
+                        f"{rel:.3f} > 0.15 (3x rsd 0.05)")
+        if not (e.lo <= r.approx_median <= e.hi):
+            errs.append(f"{r.l_returnflag}: approx_median "
+                        f"{r.approx_median} outside [p49={e.lo}, "
+                        f"p51={e.hi}]")
+    return "; ".join(errs) or None
 
 
 @register(

@@ -99,6 +99,23 @@ def main() -> int:
         qd = registry.REGISTRY.get(name)
         has_py_oracle = qd is not None and qd.oracle_py is not None
         if name not in oracles and not has_py_oracle:
+            bc = qd.bound_check if qd is not None else None
+            if bc is not None:
+                # bounded-error verification (r10 VERDICT item 4): the
+                # rows-only-by-design approximates must stay inside their
+                # documented error bound or the gate FAILS — an estimate
+                # drifting to 50% error no longer hides in a ROWS line
+                try:
+                    berr = bc(sdf, con)
+                except Exception as e:  # noqa: BLE001
+                    berr = f"bound-check error: {e!r}"
+                if berr:
+                    failures.append(name)
+                    print(f"FAIL  {name}: {berr}")
+                else:
+                    print(f"OKB   {name}: {len(sdf)} rows, bounded-error "
+                          f"verified [{t_spark:.1f}s]")
+                continue
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) "
                   f"[{t_spark:.1f}s]")
             continue
