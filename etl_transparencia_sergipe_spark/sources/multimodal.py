@@ -48,11 +48,24 @@ def media_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes):
-    """Real decode path — STUB: requires an imaging library."""
+    """Real decode path: PIL where installed; otherwise the stdlib
+    png_mini decoder for 8-bit gray/RGB PNG payloads (round-11 — the
+    real-decode branch now EXECUTES in PIL-less containers instead of
+    skipping; tests/test_multimodal_real.py pins it against exact pixel
+    stats). Non-PNG payloads without PIL still raise
+    NotImplementedError — plug a real decoder into
+    extract_features(decode_fn=...)."""
     if not _HAS_PIL:
+        from etl_transparencia_sergipe_spark.sources.png_mini import (
+            _SIG, decode_png,
+        )
+
+        if content is not None and bytes(content[:8]) == _SIG:
+            return decode_png(bytes(content))
         raise NotImplementedError(
-            "image decode requires PIL/pillow (not in this container); "
-            "plug a real decoder into extract_features(decode_fn=...)")
+            "non-PNG image decode requires PIL/pillow (not in this "
+            "container); plug a real decoder into "
+            "extract_features(decode_fn=...)")
     import io
 
     return PIL.Image.open(io.BytesIO(content))
