@@ -141,6 +141,16 @@ def main() -> None:
         res = bench_sigstore_growth(spark, sf_dir, n_batches)
         print(json.dumps({"sf_dir": sf_dir, "sigstore_growth": res}))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "canonical_batches":
+        # batch-size amortization sweep (round-11, r10 VERDICT stretch
+        # item 8): same corpus, 1/8/64-shard streams — per-DOC cost must
+        # fall as batch size grows if the 5.9 s/batch wall is per-batch
+        # constants, stay flat if it is per-doc work
+        shards = ([int(s) for s in sys.argv[2:]] or [1, 8, 64])
+        spark = get_spark("bench-canon-batches")
+        res = bench_canonical_batches(spark, sf_dir, shards)
+        print(json.dumps({"sf_dir": sf_dir, "canonical_batches": res}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "growth_canonical":
         # canonical-state sweep: bench_streaming.py growth_canonical [N]
         n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -190,6 +200,59 @@ def main() -> None:
         "n_microbatches": N_SHARDS,
         "state_store": provider, "scenarios": out,
     }))
+
+
+def bench_canonical_batches(spark, sf_dir: str,
+                            shards: list[int]) -> dict:
+    """Canonical-sink batch-size amortization sweep: ingest the SAME
+    src15+ split as a 1-shard (one big batch), 8-shard, and 64-shard
+    stream against a freshly built state each time. Reports per-shard
+    wall, per-batch wall, and ms/doc — a falling ms/doc curve with flat
+    sec/batch pins the cost as per-batch constants (scheduler + state
+    list + probe job floor), i.e. batch size is the throughput dial."""
+    from etl_transparencia_sergipe_spark.operators.canonical import (
+        build_canonical_state,
+    )
+    from etl_transparencia_sergipe_spark.streaming.canonical_stream import (
+        run_canonical_ingest,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", ".scratch",
+        f"canon_batches_{tag}"))
+    docs = load_table(spark, "documents", sf_dir)
+    is_new = "CAST(SUBSTR(source, 4) AS INT) >= 15"
+    hist = docs.filter(f"NOT ({is_new})")
+    new = docs.filter(is_new)
+    n_new = new.count()
+    res: dict[str, dict] = {"n_docs": n_new}
+    for k in shards:
+        root = os.path.join(base, f"s{k}")
+        shutil.rmtree(root, ignore_errors=True)
+        state = os.path.join(root, "state")
+        build_canonical_state(hist, "doc_id", "text", state,
+                              base_epoch=-1)
+        docs_dir = os.path.join(root, "docs")
+        new.repartition(k).write.mode("overwrite").parquet(docs_dir)
+        t0 = time.time()
+        run_canonical_ingest(spark, docs_dir, state,
+                             matches_path=os.path.join(root, "matches"),
+                             checkpoint_dir=os.path.join(root, "ckpt"))
+        sec = time.time() - t0
+        matched = spark.read.parquet(os.path.join(root, "matches")).count()
+        res[f"shards_{k}"] = {
+            "sec": round(sec, 3),
+            "sec_per_batch": round(sec / k, 3),
+            "ms_per_doc": round(1000 * sec / n_new, 3),
+            "docs_per_sec": round(n_new / sec),
+            "matches": matched,
+        }
+        print(f"# canonical {k:>3} shards: {sec:7.2f}s  "
+              f"{sec / k:6.2f}s/batch  "
+              f"{1000 * sec / n_new:7.3f} ms/doc  {matched} matches",
+              file=sys.stderr)
+    return res
 
 
 def bench_canonical_growth(spark, sf_dir: str, n_batches: int = 32) -> dict:
