@@ -138,6 +138,15 @@ def bench_names(qs: dict) -> list[str]:
 
 
 def main() -> None:
+    # Box-state snapshot at ENTRY — before session build and the warmup
+    # pass, whose own CPU would otherwise inflate loadavg_before and
+    # falsely flag every run as contended. The window therefore covers
+    # warmup + timed loop; other_busy_frac (box minus self) is the
+    # contention signal either way.
+    load_before = os.getloadavg()
+    busy0, jtot0 = _proc_stat_jiffies()
+    cpu0 = _proc_tree_cpu_sec()
+    wall0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The session's 2-min periodic GC (disk-leak protection for ad-hoc
@@ -201,10 +210,6 @@ def main() -> None:
     n_warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3")))
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    load_before = os.getloadavg()
-    busy0, jtot0 = _proc_stat_jiffies()
-    cpu0 = _proc_tree_cpu_sec()
-    wall0 = time.perf_counter()
     for name in names:
         runs: list[float] = []
         for _ in range(1 + n_warm):
