@@ -17,6 +17,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from etl_transparencia_sergipe_spark.caching import release_all
 from etl_transparencia_sergipe_spark.session import get_spark
 
 import __spark_entry__ as entrymod
@@ -59,7 +60,15 @@ def main() -> None:
         print(f"{name}: {timings[name]}s"
               + (f" ERROR {errors[name][:120]}" if name in errors else ""),
               file=sys.stderr, flush=True)
-        spark.catalog.clearCache()
+        # release_all, not bare clearCache (round-11): clearCache leaves
+        # every CC-tier query's FINAL localCheckpoint blocks registered
+        # (MEMORY_AND_DISK — they spill to disk at sf10 sizes), so the
+        # between-query disk floor crept 16.6 -> 47.7 GiB across the r11
+        # 64-query sweep and q38/q39's own ~45 GiB in-query peak then
+        # hit the box's ~94 GB capacity: their checkpoint writes died
+        # with ENOSPC — the exact r5 defect class, reintroduced by this
+        # tool never getting bench.py's r9 release_all upgrade.
+        release_all(spark)
         # scale-point queries leave tens of GB of shuffle files behind;
         # ContextCleaner only deletes them after a driver GC, so force
         # one between queries (local disk is the scarce resource here)
