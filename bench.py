@@ -72,22 +72,27 @@ HEADLINE = [
 ]
 
 
-def _proc_stat_jiffies() -> tuple[int, int]:
-    """(busy, total) jiffies from the aggregate cpu line of /proc/stat.
+def _proc_stat_jiffies() -> tuple[int, int, int]:
+    """(busy, total, steal) jiffies from the aggregate cpu line of
+    /proc/stat.
 
     busy excludes idle and iowait; the delta across the timed loop gives
     WHOLE-BOX cpu utilization during the run — other tenants included,
     which is exactly the contention signal the record needs (round-10
     VERDICT: driver warm 113.8s vs idle-box 93.8s was reconciled by
-    narrative, not data). Returns (0, 0) off-Linux.
+    narrative, not data). steal is reported separately: nonzero steal
+    means the HYPERVISOR is taking cycles — the round-11 cross-day
+    shift class that loadavg and in-VM contention metrics cannot see.
+    Returns (0, 0, 0) off-Linux.
     """
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-        return sum(vals) - idle, sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals) - idle, sum(vals), steal
     except (OSError, ValueError, IndexError):
-        return 0, 0
+        return 0, 0, 0
 
 
 def _proc_tree_cpu_sec() -> float:
@@ -144,7 +149,7 @@ def main() -> None:
     # warmup + timed loop; other_busy_frac (box minus self) is the
     # contention signal either way.
     load_before = os.getloadavg()
-    busy0, jtot0 = _proc_stat_jiffies()
+    busy0, jtot0, steal0 = _proc_stat_jiffies()
     cpu0 = _proc_tree_cpu_sec()
     wall0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -238,7 +243,7 @@ def main() -> None:
                       if n_warm >= 1 else runs[0])
 
     wall = time.perf_counter() - wall0
-    busy1, jtot1 = _proc_stat_jiffies()
+    busy1, jtot1, steal1 = _proc_stat_jiffies()
     self_cpu = _proc_tree_cpu_sec() - cpu0
     ncpus = os.cpu_count() or 1
     box_busy = ((busy1 - busy0) / (jtot1 - jtot0)
@@ -256,6 +261,8 @@ def main() -> None:
         "box_busy_frac": round(box_busy, 4),
         "self_busy_frac": round(self_busy, 4),
         "other_busy_frac": round(max(0.0, box_busy - self_busy), 4),
+        "steal_frac": round((steal1 - steal0) / (jtot1 - jtot0), 4)
+        if jtot1 > jtot0 else 0.0,
         "ncpus": ncpus,
     }
 

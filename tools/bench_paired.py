@@ -62,6 +62,9 @@ def main() -> None:
         "duckdb_queries": duck["queries"],
         "ratios": ratios,
         "ratios_warm": ratios_warm,
+        # box-state record (round-11): propagate bench.py's contention
+        # fields so paired records are annotatable by bench_diff too
+        "box": spark.get("box"),
     }
     print(json.dumps(combined))
 
