@@ -167,9 +167,11 @@ def check_inversions(path: str, factor: float, abs_floor: float,
         obj = json.loads(text)
     except json.JSONDecodeError:
         obj = json.loads(text.splitlines()[0])
-    cold, warm = obj.get("queries"), obj.get("queries_warm")
+    cold = obj.get("queries") or obj.get("spark_queries")
+    warm = obj.get("queries_warm") or obj.get("spark_queries_warm")
     if not cold or not warm:
-        raise ValueError(f"{path}: needs queries + queries_warm")
+        raise ValueError(f"{path}: needs queries + queries_warm "
+                         f"(or the paired spark_* variants)")
     exempt = allow | baseline_exemptions("bench-inversion-ok")
     flagged, exempted = [], []
     for q in sorted(set(cold) & set(warm)):
