@@ -97,7 +97,15 @@ def _proc_stat_jiffies() -> tuple[int, int, int]:
 
 def _proc_tree_cpu_sec() -> float:
     """User+system CPU seconds consumed so far by this process and every
-    LIVE descendant (the Spark JVM), summed from /proc/<pid>/stat.
+    LIVE descendant (the Spark JVM), summed from /proc/<pid>/stat —
+    PLUS each live process's cutime/cstime, which is CPU burned by its
+    already-REAPED children (e.g. pyspark worker daemons that exited
+    mid-run). Without the reaped term that CPU vanished from self_cpu
+    and inflated other_busy_frac, flagging idle boxes as CONTENDED
+    (round-11 ADVICE). No double count: live descendants appear once in
+    the tree walk, reaped subtrees once in their parent's cutime/cstime
+    (a reaped child's own cutime is folded into the parent's by the
+    kernel).
 
     os.times()/getrusage only see reaped children — the JVM outlives the
     timed loop — so walk the ppid tree instead. Returns 0.0 off-Linux.
@@ -116,7 +124,9 @@ def _proc_tree_cpu_sec() -> float:
                 continue  # raced a process exit
             # comm (field 2) may contain spaces — split after the last ')'
             rest = st[st.rindex(")") + 2:].split()
-            ticks[int(d)] = int(rest[11]) + int(rest[12])  # utime+stime
+            # utime+stime (this process) + cutime+cstime (reaped kids)
+            ticks[int(d)] = (int(rest[11]) + int(rest[12])
+                             + int(rest[13]) + int(rest[14]))
             kids.setdefault(int(rest[1]), []).append(int(d))
         total, stack = 0, [os.getpid()]
         while stack:
@@ -126,6 +136,42 @@ def _proc_tree_cpu_sec() -> float:
         return total / hz
     except (OSError, ValueError):
         return 0.0
+
+
+def _calib_cpu_sec() -> float:
+    """Fixed single-threaded CPU probe: sha256 over a constant 1 MiB
+    buffer, 400 rounds (~0.5-1 s on this box class). Pure compute, no
+    allocation churn, no I/O — the wall tracks per-core speed, which is
+    exactly what the round-11 cross-day host shift moved. Recorded in
+    the box dict so bench_diff can NORMALIZE cross-day walls by
+    measured box speed instead of exempting flags (round-11 VERDICT
+    item 1)."""
+    import hashlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(400):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _calib_shuffle_sec(spark) -> float:
+    """Fixed Spark probe: range(4M) -> hash-agg on 512 keys -> count,
+    32 partitions. One throwaway execution pays Janino codegen, then
+    the median of 3 measures steady-state JVM+scheduler+exchange
+    throughput — the second axis a host shift moves (JIT/thread
+    scheduling), which the pure-Python probe cannot see."""
+    def run() -> float:
+        t0 = time.perf_counter()
+        (spark.range(0, 4_000_000, 1, 32)
+         .selectExpr("id % 512 AS k")
+         .groupBy("k").count().count())
+        return time.perf_counter() - t0
+
+    run()  # codegen compile, untimed
+    return round(statistics.median(run() for _ in range(3)), 4)
 
 
 def bench_names(qs: dict) -> list[str]:
@@ -163,8 +209,10 @@ def main() -> None:
     # outside the timers — ~0.2 s each), so the periodic timer is
     # stretched out of the way: cleanup now happens ~218x per run, far
     # more often than every 2 min.
+    calib_cpu = _calib_cpu_sec()
     spark = get_spark("bench", extra_conf={
         "spark.cleaner.periodicGC.interval": "60min"})
+    calib_shuffle = _calib_shuffle_sec(spark)
 
     qs = entrymod.queries()
     names = bench_names(qs)
@@ -264,6 +312,12 @@ def main() -> None:
         "steal_frac": round((steal1 - steal0) / (jtot1 - jtot0), 4)
         if jtot1 > jtot0 else 0.0,
         "ncpus": ncpus,
+        # Fixed-work calibration probes (round-12, r11 VERDICT item 1):
+        # constant workloads whose wall measures BOX SPEED, letting
+        # cross-day comparisons normalize by probe ratio instead of
+        # blanket-exempting host shifts.
+        "calib_cpu_sec": calib_cpu,
+        "calib_shuffle_sec": calib_shuffle,
     }
 
     total = round(sum(timings.values()), 3)

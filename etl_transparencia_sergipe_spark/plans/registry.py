@@ -45,6 +45,17 @@ class QueryDef:
     # printing an unexamined ROWS line. The driver contract is unchanged
     # (it still records rows-only for these).
     bound_check: Callable | None = None
+    # Optional LAZY SQL generator (round-12, r11 VERDICT item 5):
+    # ``() -> str | None``, consulted by oracle_sql() when ``oracle`` is
+    # None. Exists for the trained-ANN family, whose oracle SQL contains
+    # LITERAL trained constants (centroids/codebooks) that are
+    # deterministic per (data fingerprint, spec) but can't be written as
+    # a static string at import time: the generator retrains/loads the
+    # constants against the driver's sf0.01 parquet on its own DuckDB
+    # connection and emits the full literal-constant SQL. Returning None
+    # (e.g. the driver's sf dir is absent) falls back to rows-only — the
+    # driver never sees a generator failure, just a missing oracle.
+    oracle_gen: Callable | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -52,13 +63,15 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, doc: str = "",
              oracle_py: Callable | None = None,
-             bound_check: Callable | None = None):
+             bound_check: Callable | None = None,
+             oracle_gen: Callable | None = None):
     """Decorator: add a builder to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QueryDef(name=name, build=fn, oracle=oracle,
                                   doc=doc, oracle_py=oracle_py,
-                                  bound_check=bound_check)
+                                  bound_check=bound_check,
+                                  oracle_gen=oracle_gen)
         return fn
 
     return deco
@@ -71,7 +84,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
-    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    out: dict[str, str] = {}
+    for n, q in REGISTRY.items():
+        if q.oracle is not None:
+            out[n] = q.oracle
+        elif q.oracle_gen is not None:
+            # lazy literal-constant SQL (trained-ANN family); any
+            # generator failure degrades to rows-only, never to a
+            # driver-visible exception
+            try:
+                sql = q.oracle_gen()
+            except Exception:
+                sql = None
+            if sql:
+                out[n] = sql
+    return out
 
 
 _LOADED = False
@@ -295,23 +322,45 @@ _LOADED = False
 #   oracle_py hash twin (the r9 precedent — a driver re-window would
 #   only earn a rows-only row, and rows-only stays at the mandated <=2:
 #   q92 + q102).
+# Round-12 rotation (r11 VERDICT items 5+6):
+# - The TRAINED-ANN family enters for driver certification of its new
+#   generated literal-constant oracles (oracle_gen, item 5): q63, q98,
+#   q99, q101, q103 join q102 (already in-window, whose driver row
+#   upgrades from rows-only to a full hash check this round). The
+#   rows-only population drops to the single mandated member: q92
+#   (Apache DataSketches HLL state is not SQL-reproducible; its
+#   bounded-error gate runs locally).
+# - Longest-unwindowed hash-backed returns: q31, q32, q42, q44 (driver
+#   rows r09+r10, displaced in the round-11 rotation; q35/q50 stay out
+#   one more round — 9 slots, and the ANN certification takes 5).
+# - They displace the nine r10+r11 double-certified unchanged
+#   stalwarts the VERDICT names: q33, q46, q52, q57, q66, q71, q91,
+#   q100, q104 — all remain hash-verified in the local 111-query gate
+#   every round. Family coverage stays in-window (n-gram/near-dup:
+#   q31/q32/q76/q82/q84/q105/q110; ANN: the six trained entries;
+#   streaming/windows: q51/q111/q112; text: q20/q85; multimodal
+#   plumbing: pinned by pytest + local gate).
+# - Re-certified in place: q92's bound_check and q43's median envelope
+#   changed this round (LOCAL gate semantics only — the driver contract
+#   for both is unchanged); the q63/q98/q99/q101/q102/q103 Spark
+#   builders are untouched — only their published oracles are new.
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q04_monthly_revenue", "q07_anti_join_inactive_customers",
     "q11_rollup_revenue", "q14_range_join_ship_lag",
-    "q33_ngram_jaccard_topk",
+    "q31_minhash_lsh_dedup",
     "q34_asof_join", "q36_upsert_merge",
     "q38_dedup_clusters", "q39_curation_keep_canonical",
     "q107_canonical_dedup",
-    "q102_ivfpq_residual_topk", "q46_ivf_ann_topk",
+    "q102_ivfpq_residual_topk", "q63_ivf_trained_topk",
     "q56_iqr_outliers",
-    "q91_media_ahash_neardup", "q92_rolling_active_hll",
-    "q100_bm25_topk", "q52_session_windows",
-    "q57_pack_chunks",
-    "q104_dsir_importance_sample", "q66_repetition_ratio",
+    "q98_pq_ann_topk", "q92_rolling_active_hll",
+    "q99_pq_rerank_topk", "q101_ivfpq_topk",
+    "q103_ivfpq_residual_refine_topk",
+    "q32_simhash_dedup", "q42_cosine_neardup_pairs",
     "q05_top_customers", "q97_incremental_cc",
     "q20_token_stats", "q105_bloom_decontamination",
-    "q71_multimodal_features",
+    "q44_lsh_ann_topk",
     "q51_sliding_window",
     "q73_merge_materialized", "q109_percentiles_bucketed",
     "q110_substring_dedup_spans",

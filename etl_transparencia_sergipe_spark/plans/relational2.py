@@ -373,17 +373,26 @@ def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q43_bound_check(sdf, con) -> str | None:
-    """q43's bounded-error gate (round-11, r10 VERDICT item 4): each
-    group's approx_count_distinct must sit within 3x its default
-    rsd (0.05 -> 15%) of DuckDB's exact distinct count, and each
-    percentile_approx median must land between the exact p49 and p51
-    (default accuracy 10000 bounds rank error at 1e-4; the 1%-rank
-    margin is the generous machine-checkable envelope, robust to ties)."""
+    """q43's bounded-error gate (round-11, r10 VERDICT item 4; median
+    envelope hardened round-12 per ADVICE): each group's
+    approx_count_distinct must sit within 3x its default rsd
+    (0.05 -> 15%) of DuckDB's exact distinct count, and each
+    percentile_approx median must land between the exact DISCRETE p49
+    and p51 (quantile_disc returns actual data elements — Spark's
+    percentile_approx also returns an element, so for any group the
+    envelope is guaranteed non-empty, unlike quantile_cont's
+    interpolated endpoints which can bracket no element at small n).
+    Groups with n < 100 rows skip the median check entirely: there the
+    1%-rank margin is sub-one-element and the check degenerates to
+    exact-median equality, which the sketch does guarantee
+    (rank error 1e-4*n < 1) but which adds nothing over the disc
+    endpoints and is the advice-flagged flakiness surface."""
     ex = con.execute("""
         SELECT l_returnflag,
                COUNT(DISTINCT l_partkey) AS exact_parts,
-               quantile_cont(l_extendedprice, 0.49) AS lo,
-               quantile_cont(l_extendedprice, 0.51) AS hi
+               COUNT(l_extendedprice) AS n_rows,
+               quantile_disc(l_extendedprice, 0.49) AS lo,
+               quantile_disc(l_extendedprice, 0.51) AS hi
         FROM lineitem GROUP BY l_returnflag
     """).fetchdf().set_index("l_returnflag")
     errs = []
@@ -398,10 +407,10 @@ def _q43_bound_check(sdf, con) -> str | None:
         if rel > 0.15:
             errs.append(f"{r.l_returnflag}: approx_parts rel err "
                         f"{rel:.3f} > 0.15 (3x rsd 0.05)")
-        if not (e.lo <= r.approx_median <= e.hi):
+        if e.n_rows >= 100 and not (e.lo <= r.approx_median <= e.hi):
             errs.append(f"{r.l_returnflag}: approx_median "
-                        f"{r.approx_median} outside [p49={e.lo}, "
-                        f"p51={e.hi}]")
+                        f"{r.approx_median} outside disc [p49={e.lo}, "
+                        f"p51={e.hi}] (n={e.n_rows})")
     return "; ".join(errs) or None
 
 

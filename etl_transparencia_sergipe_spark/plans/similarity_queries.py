@@ -173,33 +173,77 @@ def _trained_constants(spark, sf_dir: str, kind: str, spec: dict) -> dict:
     return get_or_train(kind, f"{sf_dir}/embeddings.parquet", spec, trainer)
 
 
-def _q63_oracle(con):
-    """DuckDB twin for q63 (round 5, upgraded from rows-only): the
-    quantizer is trained from the SAME deterministic spec — DuckDB
-    supplies the hash-ordered sample (portable multiplicative hash,
-    ``similarity.SAMPLE_HASH``) and ``lloyd_float`` turns it into the
-    identical centroid constants the Spark side broadcasts (training is
-    a shared deterministic constant, like the SRP hyperplanes the
-    q44/q45 oracles share). The SEARCH — cell assignment, probe
-    selection, candidate join, exact re-ranking, recall join — is then
-    verified end-to-end in pure DuckDB SQL: the trained centroids are
-    injected as literals into the same q46-proven ivf_topk_duck SQL,
-    wrapped with the brute-force-exact recall join."""
+def _sample_X(con):
+    """The shared deterministic training sample: portable-hash-ordered
+    rows, fetched through whatever DuckDB connection the caller holds
+    (the local gate's, or the generator's own over the driver sf)."""
     import numpy as np
 
     from etl_transparencia_sergipe_spark.operators.similarity import (
         SAMPLE_HASH,
-        cosine_topk_duck,
-        ivf_topk_duck,
-        lloyd_float,
     )
 
     h = SAMPLE_HASH.format(id="vec_id")
     rows = con.execute(
         f"SELECT embedding FROM embeddings "
         f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    cent = lloyd_float(X, n_cells=16, seed=42, max_iter=20)
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _gen_sql(builder):
+    """oracle_gen factory for the trained-ANN family (round-12, r11
+    VERDICT item 5): the trained constants are deterministic per (data
+    fingerprint, spec), so the DRIVER-facing oracle SQL — which must be
+    a static string — can be EMITTED at oracle_sql() time by retraining
+    against the driver's own sf0.01 parquet on a private DuckDB
+    connection and injecting the constants as literals. At sf0.01 the
+    whole table fits inside the 65536-row sample cap, so generation is
+    sub-second. Returns None (-> rows-only, the pre-r12 contract) when
+    the driver sf dir is absent; ``SPARK_GRAFT_ORACLE_SF_DIR``
+    overrides the dir for local driver-mirror testing."""
+    def gen() -> str | None:
+        import os
+
+        import duckdb
+
+        sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+        path = os.path.join(sf, "embeddings.parquet")
+        if not os.path.exists(path):
+            return None
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+            return builder(con)
+        finally:
+            con.close()
+
+    return gen
+
+
+def _q63_oracle_sql(con) -> str:
+    """Literal-constant SQL for q63 (round 5, upgraded from rows-only;
+    split into builder + executor round-12 so oracle_gen can publish
+    the same SQL to the driver): the quantizer is trained from the SAME
+    deterministic spec — DuckDB supplies the hash-ordered sample
+    (portable multiplicative hash, ``similarity.SAMPLE_HASH``) and
+    ``lloyd_float`` turns it into the identical centroid constants the
+    Spark side broadcasts (training is a shared deterministic constant,
+    like the SRP hyperplanes the q44/q45 oracles share). The SEARCH —
+    cell assignment, probe selection, candidate join, exact re-ranking,
+    recall join — is then verified end-to-end in pure DuckDB SQL: the
+    trained centroids are injected as literals into the same
+    q46-proven ivf_topk_duck SQL, wrapped with the brute-force-exact
+    recall join."""
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        cosine_topk_duck,
+        ivf_topk_duck,
+        lloyd_float,
+    )
+
+    cent = lloyd_float(_sample_X(con), n_cells=16, seed=42, max_iter=20)
     vals = ", ".join(
         f"({i}, [{', '.join(repr(float(v)) for v in cent[i])}]::DOUBLE[])"
         for i in range(len(cent)))
@@ -207,7 +251,7 @@ def _q63_oracle(con):
     ann_sql = ivf_topk_duck("embeddings", k=5, n_cells=16, nprobe=4,
                             cent_sql=cent_sql)
     exact_sql = cosine_topk_duck("embeddings", k=5)
-    return con.execute(f"""
+    return f"""
         WITH ann AS ({ann_sql}),
              exact AS (SELECT query_id, neighbor_id FROM ({exact_sql}))
         SELECT ann.query_id,
@@ -219,7 +263,11 @@ def _q63_oracle(con):
           ON e.query_id = ann.query_id
          AND e.neighbor_id = ann.neighbor_id
         GROUP BY ann.query_id ORDER BY ann.query_id
-    """).fetchdf()
+    """
+
+
+def _q63_oracle(con):
+    return con.execute(_q63_oracle_sql(con)).fetchdf()
 
 
 @register(
@@ -227,9 +275,14 @@ def _q63_oracle(con):
     # training's iteration count and RNG init aren't SQL-expressible, so
     # there is no pure-SQL driver oracle; locally the oracle_py hook
     # verifies the full search plan in DuckDB SQL with the trained
-    # centroids injected as literals (_q63_oracle above)
+    # centroids injected as literals (_q63_oracle above). Round-12: the
+    # same literal-constant SQL is now PUBLISHED to the driver via
+    # oracle_gen — trained against the driver's own sf0.01 parquet at
+    # oracle_sql() time, upgrading the driver row from rows-only to a
+    # full hash check (r11 VERDICT item 5)
     oracle=None,
     oracle_py=_q63_oracle,
+    oracle_gen=_gen_sql(_q63_oracle_sql),
     doc="J6 IVF ANN with a TRAINED coarse quantizer: seeded numpy Lloyd "
         "over a bounded portable-hash-ordered sample (FAISS posture; "
         "reference k-means precedent data_science.ipynb:99) learns "
@@ -400,35 +453,41 @@ def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q98_oracle(con):
+def _pq_books(con):
+    """Shared q98-spec PQ codebooks (m=8 x ksub=16, seed 42) from the
+    deterministic sample — pq_codebooks' exact procedure."""
+    import numpy as np
+
+    from etl_transparencia_sergipe_spark.operators.similarity import (
+        lloyd_float,
+    )
+
+    X = _sample_X(con)
+    m, ksub = 8, 16
+    dsub = X.shape[1] // m
+    return np.stack([
+        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
+                    seed=42)
+        for mm in range(m)
+    ])
+
+
+def _q98_oracle_sql(con) -> str:
     """DuckDB twin for q98: codebooks trained from the shared
     deterministic spec (portable-hash-ordered sample + seeded per-
     subspace numpy Lloyd — pq_codebooks' exact procedure) are injected
     as literals; ENCODE, the ADC lookup-table build, the compressed-
     domain top-k and the exact-L2 recall join are then verified
     end-to-end in pure SQL (pq_topk_duck)."""
-    import numpy as np
-
     from etl_transparencia_sergipe_spark.operators.similarity import (
-        SAMPLE_HASH,
-        lloyd_float,
         pq_topk_duck,
     )
 
-    h = SAMPLE_HASH.format(id="vec_id")
-    rows = con.execute(
-        f"SELECT embedding FROM embeddings "
-        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    m, ksub = 8, 16
-    dsub = X.shape[1] // m
-    books = np.stack([
-        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
-                    seed=42)
-        for mm in range(m)
-    ])
-    return con.execute(
-        pq_topk_duck("embeddings", books, k=5)).fetchdf()
+    return pq_topk_duck("embeddings", _pq_books(con), k=5)
+
+
+def _q98_oracle(con):
+    return con.execute(_q98_oracle_sql(con)).fetchdf()
 
 
 @register(
@@ -439,6 +498,7 @@ def _q98_oracle(con):
     # DuckDB twin in the local gate
     oracle=None,
     oracle_py=_q98_oracle,
+    oracle_gen=_gen_sql(_q98_oracle_sql),
     doc="J6 PRODUCT-QUANTIZATION ANN [EXT]: per-subspace k-means "
         "codebooks (m=8 x ksub=16, trained like q63's coarse quantizer "
         "on the bounded portable-hash sample) compress each 64-dim "
@@ -473,37 +533,26 @@ def q98_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q99_oracle(con):
+def _q99_oracle_sql(con) -> str:
     """Literal-codebook DuckDB twin of the PQ shortlist + exact re-rank
     (same shared-training posture as q98/_q63_oracle)."""
-    import numpy as np
-
     from etl_transparencia_sergipe_spark.operators.similarity import (
-        SAMPLE_HASH,
-        lloyd_float,
         pq_rerank_duck,
     )
 
-    h = SAMPLE_HASH.format(id="vec_id")
-    rows = con.execute(
-        f"SELECT embedding FROM embeddings "
-        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    m, ksub = 8, 16
-    dsub = X.shape[1] // m
-    books = np.stack([
-        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
-                    seed=42)
-        for mm in range(m)
-    ])
-    return con.execute(
-        pq_rerank_duck("embeddings", books, k=5, r=50)).fetchdf()
+    return pq_rerank_duck("embeddings", _pq_books(con), k=5, r=50)
+
+
+def _q99_oracle(con):
+    return con.execute(_q99_oracle_sql(con)).fetchdf()
 
 
 @register(
     "q99_pq_rerank_topk",
-    oracle=None,  # trained codebooks: q63/q98 driver contract
+    oracle=None,  # trained codebooks: q63/q98 driver contract;
+    # round-12: literal-constant SQL published via oracle_gen
     oracle_py=_q99_oracle,
+    oracle_gen=_gen_sql(_q99_oracle_sql),
     doc="J6 PQ + EXACT RE-RANK [EXT]: q98's compressed-domain ADC scan "
         "shortlists the top-50 per query, then ONLY those 50 x |Q| rows' "
         "raw vectors are read back (broadcast semi-join over the corpus "
@@ -537,42 +586,32 @@ def q99_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q101_oracle(con):
+def _q101_oracle_sql(con) -> str:
     """Literal-constant DuckDB twin for IVFPQ: the coarse quantizer
     (full-dim Lloyd, q63's spec) and the PQ codebooks (per-subspace
     Lloyd, q98's spec) are both trained from the shared deterministic
     sample; assignment, probe selection, encode, pruned ADC ranking
     and the exact-L2 recall join are verified in SQL."""
-    import numpy as np
-
     from etl_transparencia_sergipe_spark.operators.similarity import (
-        SAMPLE_HASH,
         ivfpq_topk_duck,
         lloyd_float,
     )
 
-    h = SAMPLE_HASH.format(id="vec_id")
-    rows = con.execute(
-        f"SELECT embedding FROM embeddings "
-        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    m, ksub = 8, 16
-    dsub = X.shape[1] // m
-    books = np.stack([
-        lloyd_float(X[:, mm * dsub:(mm + 1) * dsub], n_cells=ksub,
-                    seed=42)
-        for mm in range(m)
-    ])
-    cent = lloyd_float(X, n_cells=16, seed=42, max_iter=20)
-    return con.execute(
-        ivfpq_topk_duck("embeddings", cent, books, k=5, n_cells=16,
-                        nprobe=4)).fetchdf()
+    cent = lloyd_float(_sample_X(con), n_cells=16, seed=42, max_iter=20)
+    return ivfpq_topk_duck("embeddings", cent, _pq_books(con), k=5,
+                           n_cells=16, nprobe=4)
+
+
+def _q101_oracle(con):
+    return con.execute(_q101_oracle_sql(con)).fetchdf()
 
 
 @register(
     "q101_ivfpq_topk",
-    oracle=None,  # trained quantizer + codebooks: the q63/q98 contract
+    oracle=None,  # trained quantizer + codebooks: the q63/q98
+    # contract; round-12: literal-constant SQL published via oracle_gen
     oracle_py=_q101_oracle,
+    oracle_gen=_gen_sql(_q101_oracle_sql),
     doc="J6 IVFPQ — IVF x PQ COMPOSED (the FAISS IVFADC architecture, "
         "non-residual variant) [EXT]: the trained coarse quantizer "
         "prunes to nprobe=4 of 16 cells per query and candidates are "
@@ -615,7 +654,7 @@ def q101_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q102_SPEC = dict(k=5, n_cells=16, nprobe=4, m=8, ksub=16)
 
 
-def _q102_oracle(con):
+def _q102_oracle_sql(con) -> str:
     """Literal-constant DuckDB twin for RESIDUAL IVFPQ: centroids and
     residual codebooks trained by the shared deterministic procedure
     (``ivfpq_residual_train`` over the portable-hash-ordered sample —
@@ -623,32 +662,29 @@ def _q102_oracle(con):
     tests/test_lloyd_independent.py); L2 assignment, probe selection,
     residual encode, per-(query, cell) LUTs, pruned ADC ranking and
     the exact-L2 recall join verified in SQL."""
-    import numpy as np
-
     from etl_transparencia_sergipe_spark.operators.similarity import (
-        SAMPLE_HASH,
         ivfpq_residual_duck,
         ivfpq_residual_train,
     )
 
-    h = SAMPLE_HASH.format(id="vec_id")
-    rows = con.execute(
-        f"SELECT embedding FROM embeddings "
-        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     s = _Q102_SPEC
     cmat, books = ivfpq_residual_train(
-        X, n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"], seed=42)
-    return con.execute(
-        ivfpq_residual_duck("embeddings", cmat, books, k=s["k"],
-                            n_cells=s["n_cells"],
-                            nprobe=s["nprobe"])).fetchdf()
+        _sample_X(con), n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"],
+        seed=42)
+    return ivfpq_residual_duck("embeddings", cmat, books, k=s["k"],
+                               n_cells=s["n_cells"], nprobe=s["nprobe"])
+
+
+def _q102_oracle(con):
+    return con.execute(_q102_oracle_sql(con)).fetchdf()
 
 
 @register(
     "q102_ivfpq_residual_topk",
-    oracle=None,  # trained quantizer + codebooks: the q63/q98 contract
+    oracle=None,  # trained quantizer + codebooks: the q63/q98
+    # contract; round-12: literal-constant SQL published via oracle_gen
     oracle_py=_q102_oracle,
+    oracle_gen=_gen_sql(_q102_oracle_sql),
     doc="J6 RESIDUAL IVFPQ — the actual FAISS IVFADC default "
         "(by_residual=True) [EXT]: PQ codebooks quantize each vector's "
         "RESIDUAL x - c(x) against its L2-assigned coarse cell, and "
@@ -704,37 +740,35 @@ def q102_ivfpq_residual_topk(spark: SparkSession,
 _Q103_SPEC = dict(k=5, r=100, n_cells=16, nprobe=6, m=8, ksub=16)
 
 
-def _q103_oracle(con):
+def _q103_oracle_sql(con) -> str:
     """Literal-constant DuckDB twin for residual IVFADC + exact refine:
     shared deterministic training (``ivfpq_residual_train``), then the
     full search — assignment, probes, residual encode, LUTs, ADC
     shortlist, exact-L2 rescore and re-rank — verified in SQL."""
-    import numpy as np
-
     from etl_transparencia_sergipe_spark.operators.similarity import (
-        SAMPLE_HASH,
         ivfpq_residual_refine_duck,
         ivfpq_residual_train,
     )
 
-    h = SAMPLE_HASH.format(id="vec_id")
-    rows = con.execute(
-        f"SELECT embedding FROM embeddings "
-        f"ORDER BY {h}, vec_id LIMIT 65536").fetchall()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     s = _Q103_SPEC
     cmat, books = ivfpq_residual_train(
-        X, n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"], seed=42)
-    return con.execute(
-        ivfpq_residual_refine_duck(
-            "embeddings", cmat, books, k=s["k"], r=s["r"],
-            n_cells=s["n_cells"], nprobe=s["nprobe"])).fetchdf()
+        _sample_X(con), n_cells=s["n_cells"], m=s["m"], ksub=s["ksub"],
+        seed=42)
+    return ivfpq_residual_refine_duck(
+        "embeddings", cmat, books, k=s["k"], r=s["r"],
+        n_cells=s["n_cells"], nprobe=s["nprobe"])
+
+
+def _q103_oracle(con):
+    return con.execute(_q103_oracle_sql(con)).fetchdf()
 
 
 @register(
     "q103_ivfpq_residual_refine_topk",
-    oracle=None,  # trained quantizer + codebooks: the q63/q98 contract
+    oracle=None,  # trained quantizer + codebooks: the q63/q98
+    # contract; round-12: literal-constant SQL published via oracle_gen
     oracle_py=_q103_oracle,
+    oracle_gen=_gen_sql(_q103_oracle_sql),
     doc="J6 residual IVFADC + exact refine — FAISS IVF16,PQ8 + "
         "RefineFlat [EXT]: the residual compressed index keeps a "
         "top-r=50 ADC shortlist per query over nprobe=6 probed cells, "

@@ -72,12 +72,15 @@ def decode_image(content: bytes):
 
 
 def real_decode_features(content: bytes) -> tuple[float, int]:
-    """Real decode + feature-extract through PIL (round-7 VERDICT item
-    7): mean grayscale pixel value and pixel count — the production
-    drop-in for ``extract_features(decode_fn=real_decode_features)``.
-    Raises NotImplementedError where pillow is absent (this container);
-    tests/test_multimodal_real.py exercises it with real PNG bytes
-    wherever PIL imports (the streamlit-test importorskip pattern)."""
+    """Real decode + feature-extract (round-7 VERDICT item 7, PNG path
+    de-stubbed round-11): mean grayscale pixel value and pixel count —
+    the production drop-in for
+    ``extract_features(decode_fn=real_decode_features)``. PNG payloads
+    decode without pillow via the stdlib ``sources/png_mini.py`` codec
+    (8-bit gray/RGB); PIL, when importable, handles everything else.
+    Only NON-PNG payloads in a PIL-less container raise
+    NotImplementedError. tests/test_multimodal_real.py pins the PNG
+    branch with real bytes; the PIL branch keeps the importorskip."""
     import numpy as np
 
     img = decode_image(content)

@@ -97,10 +97,21 @@ def decode_png(data: bytes) -> MiniImage:
     while pos + 8 <= len(data):
         (ln,), tag = struct.unpack(">I", data[pos:pos + 4]), \
             data[pos + 4:pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {ln} bytes but "
+                f"only {len(data) - pos - 12} remain")
         body = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch in {tag!r}")
         if tag == b"IHDR":
-            w, h, depth, ct, comp, filt, ilace = struct.unpack(
-                ">IIBBBBB", body)
+            try:
+                w, h, depth, ct, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", body)
+            except struct.error as exc:
+                raise ValueError(
+                    f"malformed IHDR ({ln} bytes, want 13)") from exc
             if depth != 8 or ct not in _CHANNELS or ilace:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={ct}, "

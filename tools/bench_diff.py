@@ -158,6 +158,26 @@ def annotate_box(label: str, path: str, load_max: float,
     return bool(flags)
 
 
+def calib_factor(old_path: str, new_path: str) -> float | None:
+    """Box-speed ratio new/old from the fixed-work calibration probes
+    (bench.py round-12: ``calib_cpu_sec`` + ``calib_shuffle_sec`` in the
+    box record). >1 means the NEW box ran the identical probe workload
+    slower — every query wall is expected to inflate by roughly that
+    factor for host reasons, so the gate divides NEW walls by it before
+    comparing (r11 VERDICT item 1: normalize cross-day host shifts by
+    data instead of blanket exemptions). Geometric mean of the two
+    probes — CPU speed and JVM/scheduler/exchange throughput are
+    distinct axes and a host shift can move either. Returns None when
+    either record predates the probes."""
+    ob, nb = load_box(old_path), load_box(new_path)
+    try:
+        ratios = [nb[k] / ob[k]
+                  for k in ("calib_cpu_sec", "calib_shuffle_sec")]
+    except (TypeError, KeyError, ZeroDivisionError):
+        return None
+    return (ratios[0] * ratios[1]) ** 0.5
+
+
 def check_inversions(path: str, factor: float, abs_floor: float,
                      allow: set[str]) -> int:
     """Flag warm-median > factor x cold in one bench JSON (docstring:
@@ -212,6 +232,11 @@ def main() -> int:
     ap.add_argument("--other-busy-max", type=float, default=0.05,
                     help="other-process CPU fraction above which a "
                          "compared run is annotated CONTENDED")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="divide NEW walls by the box-speed factor "
+                         "measured by the fixed-work calibration probes "
+                         "before comparing (needs calib_* in both box "
+                         "records)")
     args = ap.parse_args()
 
     # exactly ONE positional is always a miswritten invocation (e.g. NEW
@@ -242,11 +267,22 @@ def main() -> int:
         print(f"bench_diff: {e}", file=sys.stderr)
         return 2
 
+    norm = 1.0
+    if args.calibrate:
+        f = calib_factor(args.old, args.new)
+        if f is None:
+            print("bench_diff: --calibrate requested but calib_* probes "
+                  "missing from one side — comparing raw walls")
+        else:
+            norm = f
+            print(f"bench_diff: box-speed factor new/old = {f:.3f} "
+                  f"(fixed-work probes) — NEW walls divided by it")
+
     exempt = set(args.allow) | baseline_exemptions()
     shared = sorted(set(old) & set(new))
     regressions, exempted, improved = [], [], 0
     for q in shared:
-        o, n = old[q], new[q]
+        o, n = old[q], new[q] / norm
         if n > o * (1 + args.threshold) and (n - o) > args.abs_floor:
             if q in exempt:
                 exempted.append((q, o, n))

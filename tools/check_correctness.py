@@ -98,6 +98,13 @@ def main() -> int:
         t_spark = time.time() - t0
         qd = registry.REGISTRY.get(name)
         has_py_oracle = qd is not None and qd.oracle_py is not None
+        # driver-mirror mode (round-12): the driver knows nothing of
+        # oracle_py — it runs exactly what oracle_sql() publishes. Set
+        # SPARK_GRAFT_PREFER_SQL=1 to take the same path here, e.g. to
+        # certify the trained-ANN family's GENERATED literal-constant
+        # SQL (oracle_gen) end-to-end before the driver does.
+        if os.environ.get("SPARK_GRAFT_PREFER_SQL") and name in oracles:
+            has_py_oracle = False
         if name not in oracles and not has_py_oracle:
             bc = qd.bound_check if qd is not None else None
             if bc is not None:
