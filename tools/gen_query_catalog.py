@@ -24,7 +24,14 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for i, (name, q) in enumerate(registry.REGISTRY.items(), 1):
-        kind = "oracle" if q.oracle else "rows-only"
+        if q.oracle:
+            kind = "oracle"
+        elif q.oracle_gen is not None:
+            # round-12: trained-ANN family — literal-constant SQL
+            # generated at oracle_sql() time, full driver hash check
+            kind = "oracle (generated)"
+        else:
+            kind = "rows-only"
         doc = " ".join((q.doc or "").split())
         if len(doc) > 220:
             doc = doc[:217] + "..."
@@ -36,8 +43,14 @@ def main() -> None:
         "(W = driver certification window, E = extended tier — all",
         "oracle-checked every round in CORRECTNESS_LOCAL.md.)",
     ]
-    Path(__file__).resolve().parent.parent.joinpath("QUERIES.md").write_text(
-        "\n".join(lines) + "\n")
+    out = Path(__file__).resolve().parent.parent / "QUERIES.md"
+    # hand-maintained prose (e.g. the streaming end-to-end walkthrough)
+    # lives below the marker and survives regeneration
+    marker = "<!-- hand-maintained below -->"
+    tail = ""
+    if out.exists() and marker in out.read_text():
+        tail = "\n\n" + marker + out.read_text().split(marker, 1)[1]
+    out.write_text("\n".join(lines) + tail + "\n")
     print(f"wrote {len(registry.REGISTRY)} rows")
 
 
