@@ -263,6 +263,12 @@ def main() -> None:
     n_warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3")))
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # per-query [min, max] across the warm repeats (round-12, r11
+    # VERDICT item 4): at sf10 single-shot walls spread 220-313s on the
+    # same query — a drift gate keyed on one number can't tell 1.3x
+    # drift from protocol noise; the spread column makes the noise
+    # band part of the record.
+    warm_spread: dict[str, list[float]] = {}
     for name in names:
         runs: list[float] = []
         for _ in range(1 + n_warm):
@@ -289,6 +295,8 @@ def main() -> None:
         timings[name] = runs[0]
         warm[name] = (round(statistics.median(runs[1:]), 3)
                       if n_warm >= 1 else runs[0])
+        if n_warm >= 2:
+            warm_spread[name] = [min(runs[1:]), max(runs[1:])]
 
     wall = time.perf_counter() - wall0
     busy1, jtot1, steal1 = _proc_stat_jiffies()
@@ -330,6 +338,7 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "warm_protocol": (f"median_of_{n_warm}" if n_warm >= 1
                           else "cold_only"),
+        **({"queries_warm_spread": warm_spread} if warm_spread else {}),
         "box": box,
         "sf": float(sf),
     }))
