@@ -167,15 +167,39 @@ def calib_factor(old_path: str, new_path: str) -> float | None:
     comparing (r11 VERDICT item 1: normalize cross-day host shifts by
     data instead of blanket exemptions). Geometric mean of the two
     probes — CPU speed and JVM/scheduler/exchange throughput are
-    distinct axes and a host shift can move either. Returns None when
-    either record predates the probes."""
+    distinct axes and a host shift can move either.
+
+    Fallback for records predating the probes: when BOTH sides are
+    paired-bench records carrying ``duckdb_total_sec``, uses
+    duck_new/duck_old — the DuckDB oracle is frozen code running the
+    identical workload in the same session, i.e. a measured box-speed
+    probe on the exact query mix (this is how the r11->r12 cross-day
+    shift was pinned). Returns None when neither source is available."""
     ob, nb = load_box(old_path), load_box(new_path)
     try:
         ratios = [nb[k] / ob[k]
                   for k in ("calib_cpu_sec", "calib_shuffle_sec")]
+        return (ratios[0] * ratios[1]) ** 0.5
     except (TypeError, KeyError, ZeroDivisionError):
-        return None
-    return (ratios[0] * ratios[1]) ** 0.5
+        pass
+    def _duck_total(path: str) -> float:
+        text = Path(path).read_text().lstrip()
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError:
+            obj = json.loads(text.splitlines()[0])
+        return obj["duckdb_total_sec"]
+
+    try:
+        o, n = _duck_total(old_path), _duck_total(new_path)
+        if o > 0 and n > 0:
+            print(f"bench_diff: calib probes absent on one side — using "
+                  f"frozen-oracle duck totals {o:.2f}s -> {n:.2f}s as the "
+                  f"box-speed probe")
+            return n / o
+    except (OSError, KeyError, ValueError, IndexError):
+        pass
+    return None
 
 
 def check_inversions(path: str, factor: float, abs_floor: float,
