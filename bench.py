@@ -33,7 +33,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from etl_transparencia_sergipe_spark.caching import release_all
+from etl_transparencia_sergipe_spark.caching import release_all, reclaim_disk
 from etl_transparencia_sergipe_spark.session import get_spark
 import __spark_entry__ as entrymod
 
@@ -290,8 +290,16 @@ def main() -> None:
             # The explicit GC replaces the periodic timer (see session
             # build above): reference-tracked cleanup (old shuffle files,
             # broadcasts) runs NOW, on an emptied heap, not mid-query.
+            # min_passes=1 keeps the healthy-disk boundary identical to
+            # the historical single System.gc(); under disk pressure it
+            # escalates to the settle loop — a single GC hint loses the
+            # shuffle-deletion relay race and the backlog compounds
+            # (round-12: the sf10 heavy tier ENOSPC'd 76 GiB in 14 min
+            # through the single-hint boundary).
             release_all(spark)
-            spark.sparkContext._jvm.System.gc()
+            reclaim_disk(spark, floor_free_gib=float(
+                os.environ.get("SPARK_GRAFT_BENCH_DISK_FLOOR_GIB", "30")),
+                min_passes=1)
         timings[name] = runs[0]
         warm[name] = (round(statistics.median(runs[1:]), 3)
                       if n_warm >= 1 else runs[0])

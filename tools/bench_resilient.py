@@ -17,47 +17,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from etl_transparencia_sergipe_spark.caching import release_all
+from etl_transparencia_sergipe_spark.caching import release_all, reclaim_disk
 from etl_transparencia_sergipe_spark.session import get_spark
 
 import __spark_entry__ as entrymod
 from bench import bench_names
-
-
-def _reclaim_disk(spark, floor_free_gib: float = 30.0,
-                  max_wait_s: float = 60.0) -> None:
-    """Drive dead shuffle files to actual DELETION before the next query
-    writes (round-11, diagnosed by the sf10 ENOSPC sweep): shuffle
-    cleanup is a four-stage relay — Python refs dropped (cycles need an
-    explicit gc.collect(); py4j detach only runs from __del__) -> JVM GC
-    collects the detached Datasets, making their AQE-materialized
-    ShuffleDependencies weakly reachable -> ContextCleaner's reference
-    queue drains -> ASYNC file deletion. A single System.gc() hint with
-    no settle time loses the race against the next query's writes, and
-    the backlog compounds across a 64-query tier (measured: 42 GiB of
-    shuffle ids 29-492 still on disk mid-sweep, flat across boundaries).
-    Two GC passes with settle sleeps reclaim reliably (measured on the
-    leak probe); when free disk is still under ``floor_free_gib`` keep
-    nudging up to ``max_wait_s`` — boundary time is not query time."""
-    import gc
-    import shutil
-    import time as _t
-
-    gc.collect()
-    deadline = _t.time() + max_wait_s
-    for i in range(8):
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001
-            return
-        _t.sleep(3.0)
-        if i >= 1:  # two passes minimum, then only under disk pressure
-            try:
-                free_gib = shutil.disk_usage("/tmp").free / 2**30
-            except OSError:
-                return
-            if free_gib >= floor_free_gib or _t.time() > deadline:
-                return
 
 
 def main() -> None:
@@ -106,7 +70,9 @@ def main() -> None:
         # tool layer (this tool never got bench.py's r9 release_all
         # upgrade).
         release_all(spark)
-        _reclaim_disk(spark)
+        # hoisted to caching.reclaim_disk in round 12 (bench.py
+        # hit the same ENOSPC class); sweep posture = 2 settle passes
+        reclaim_disk(spark)
 
     print(json.dumps({
         "metric": "bench_queries_total",
