@@ -169,6 +169,16 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
     # permuted the two engines' Lloyd inits and swapped cluster labels
     # — caught by the sf10 gate). Rows tying on the FULL tuple are
     # identical vectors, so either pick yields the same sample content.
+    # driver transfer via Arrow (round 12, guide §6 "Arrow for driver
+    # transfers"): collect() built 65k Py4J Row objects one field at a
+    # time; toArrow() ships the TakeOrdered result as columnar batches
+    # and numpy reads the zq_i columns zero-copy (measured ~0.5 s off
+    # q62 at sf0.1). Ordering is irrelevant downstream of the LIMIT:
+    # rows tying on the full sort tuple are identical vectors, and
+    # lloyd_int's init reads X[:k] — but toArrow preserves the sorted
+    # order anyway (single ordered driver collect).
+    import numpy as _np
+
     sample = (
         zq.select(
             # the shared overflow-safe split-multiply template (round-5
@@ -181,9 +191,11 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
             *[f"zq_{i}" for i in range(d)])
         .orderBy("_km_h", "_km_key", *[f"zq_{i}" for i in range(d)])
         .limit(max_train_rows)
-        .collect()
+        .toArrow()
     )
-    X = [[int(r[f"zq_{i}"]) for i in range(d)] for r in sample]
+    X = _np.column_stack([
+        sample[f"zq_{i}"].to_numpy(zero_copy_only=False) for i in range(d)
+    ]).astype(_np.int64, copy=False)
     cent = lloyd_int(X, k=k, max_iter=max_iter)
 
     dists = []

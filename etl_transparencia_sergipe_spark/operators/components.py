@@ -57,16 +57,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     spark = pairs.sparkSession
     local = checkpoint_dir is None
 
+    # Round 12 (guide §2.4 — remove shuffles outright): the cached edge
+    # list is pre-hash-partitioned by dst, the key EVERY round's gather
+    # join uses, so the per-round plan exchanges only the (node-sized)
+    # label frame instead of re-exchanging the edge list each iteration.
+    # One partition-count note: the explicit repartition pins the layout
+    # the joins reuse (the same trade as bucketing), sized from the
+    # session's shuffle parallelism.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .unionByName(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
         .distinct()
+        .repartition(n_part, "dst")
         .cache()
     )
+    # Round 12 seeded initialization: the old labels0 (= own id) spent
+    # the distinct() exchange only to enumerate nodes; folding min(dst)
+    # into that same groupBy seeds every node with min(self, N(v)) — the
+    # exact frame round 1 used to compute — so convergence needs one
+    # FULL round less (near-dup graphs: typically a single round now).
+    # Identity: least(src, min dst) is precisely the first hop's
+    # neighbor-min over the symmetrized edge list; the fixpoint and its
+    # labels are unchanged (min-propagation is monotone and confluent —
+    # tools/exp_r12_cc.py checks variant output equality on real pairs).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy("src").agg(F.min("dst").alias("_m"))
+        .select(F.col("src").alias("node"),
+                F.least("src", "_m").alias("component"))
         .transform(truncate)
     )
     # id registered by THIS call's most recent truncate — superseded
@@ -81,7 +99,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # the edges cache is needed anymore (its buffer RDD can register
     # whenever planning touches it — it is never in an eviction set).
     round_ids = {_checkpoint_rdd_id(labels)} if local else set()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # hop 1: min over neighbors' labels and own
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -100,19 +118,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 F.col("component").alias("old_component"),
             )
         )
-        # path halving (pointer jumping): follow component -> its
-        # component, so label distances double each round -> convergence
-        # in O(log diameter) iterations instead of O(diameter)
-        parent = hop.select(F.col("node").alias("component"),
-                            F.col("component").alias("grand"))
-        updated = (
-            hop.join(parent, "component", "left")
-            .select(
+        if it > 0:
+            # path halving (pointer jumping): follow component -> its
+            # component, so label distances double each round ->
+            # convergence in O(log diameter) iterations instead of
+            # O(diameter). Round 12: SKIPPED in round 1 — the seeded
+            # labels already hold min over the 1-hop ball, so round 1's
+            # hop reaches the 2-hop ball and dense near-dup graphs are
+            # at fixpoint; the halving self-join there was two pure-
+            # overhead exchanges (measured 0.25 s/query at sf0.1,
+            # tools/exp_r12_cc.py). From round 2 on (only reached by
+            # high-diameter graphs) halving keeps the log-diameter
+            # bound. Any interleaving of these monotone min-steps
+            # reaches the same fixpoint, and the stopping rule is a
+            # full unchanged hop round, so results are identical.
+            parent = hop.select(F.col("node").alias("component"),
+                                F.col("component").alias("grand"))
+            hop = hop.join(parent, "component", "left").select(
                 "node",
                 F.least("component", F.coalesce("grand", "component"))
                 .alias("component"),
                 "old_component",
             )
+        updated = (
+            hop
             # truncate lineage: each round otherwise stacks joins on the
             # previous round's plan until planning/execution blows up.
             # LAZY: the count() below is the materializing action, so

@@ -72,33 +72,44 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
 
     ``shingles_spark`` builds the n-gram array with higher-order-function
     lambdas, which Spark evaluates interpreted row-at-a-time (profiled at
-    ~3 s for 5k docs at sf0.1). This variant posexplodes the token stream
-    and assembles n-grams with window ``lead``s — WindowExec + codegen
-    projections, ~5x faster locally, and the downstream groupBy(doc_id)
-    reuses the window's hash partitioning so the shingle stage costs
-    exactly one token-stream shuffle. May emit within-doc duplicate
+    ~3 s for 5k docs at sf0.1). Rounds 5-11 posexploded the token stream
+    and assembled n-grams with window ``lead``s — codegen, but it paid a
+    full TOKEN-STREAM exchange + per-partition sort just to see each
+    token's neighbors. Round 12 (guide §2.3/§2.4 — shuffle fewer bytes,
+    remove shuffles outright): posexplode CARRIES the token array through
+    the Generate, so neighbors are ``try_element_at`` lookups into the
+    in-row array — the whole assembly is map-side, no exchange, no sort,
+    and the downstream groupBy(doc_id) partial-aggregates signatures
+    before the only shuffle left (n_docs x k integers, not tokens).
+    Parallelism no longer comes from the window exchange, so the narrow
+    input projection is fanned out first (scale.fan_out — a no-op on
+    multi-block cluster inputs). Measured at sf0.1: q31 2.94 -> 2.0 s
+    warm, the signature stage alone ~3x. May emit within-doc duplicate
     n-grams (unlike the array variant's array_distinct) — callers must be
     duplicate-insensitive (min-aggregates are).
 
     Short docs (< n tokens) emit the whole token string once, matching
-    ``shingles_spark``. ``carry`` lists extra columns (functional on the
-    id, e.g. source) to ride along in the output rows.
+    ``shingles_spark``: at pos 0 the trailing ``try_element_at`` lookups
+    are NULL and ``concat_ws`` skips them, which IS the all-tokens
+    string. ``carry`` lists extra columns (functional on the id, e.g.
+    source) to ride along in the output rows.
     """
-    from pyspark.sql.window import Window
+    from etl_transparencia_sergipe_spark.operators.scale import fan_out
 
-    tok = df.selectExpr(
-        f"{id_col} AS doc_id", *carry,
-        f"posexplode(split(lower(trim({text_col})), '\\\\s+')) AS (pos, t)",
+    tok = fan_out(df.selectExpr(f"{id_col} AS doc_id", *carry,
+                                f"{text_col} AS _txt")).selectExpr(
+        "doc_id", *carry, f"split(lower(trim(_txt)), '\\\\s+') AS _tk",
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = ["t"] + [f"_l{i}" for i in range(1, n)]
-    out = tok
-    for i in range(1, n):
-        out = out.withColumn(f"_l{i}", F.lead("t", i).over(w))
+    pe = tok.select("doc_id", *carry, "_tk",
+                    F.posexplode("_tk").alias("pos", "t"))
+    gram = F.concat_ws(" ", F.col("t"), *[
+        F.try_element_at("_tk", F.col("pos") + F.lit(i + 1))
+        for i in range(1, n)
+    ])
     return (
-        out.withColumn("cnt", F.count("*").over(Window.partitionBy("doc_id")))
-        .filter(f"(cnt >= {n} AND pos <= cnt - {n}) OR (cnt < {n} AND pos = 0)")
-        .select("doc_id", *carry, F.concat_ws(" ", *leads).alias("s"))
+        pe.filter(f"(size(_tk) >= {n} AND pos <= size(_tk) - {n}) "
+                  f"OR (size(_tk) < {n} AND pos = 0)")
+        .select("doc_id", *carry, gram.alias("s"))
     )
 
 

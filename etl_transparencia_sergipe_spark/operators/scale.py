@@ -31,6 +31,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spread (optimization guide §2.5, input skew):
+    when the upstream plan yields fewer partitions than the session's
+    parallelism — locally, a single-file single-row-group parquet table
+    is ONE scan task no matter what maxPartitionBytes says, leaving 31
+    of 32 cores idle through every downstream narrow stage — round-robin
+    repartition the (light) rows so per-row compute uses every core.
+
+    On a real multi-block table the partition count already exceeds the
+    core count and this is a NO-OP: no exchange is added at cluster
+    scale, so it is not a local-only constant baked into the plan. Call
+    it on the narrow projection (ids + text), never on a wide payload,
+    and only in front of compute-heavy map work (hashing, tokenizing) —
+    the exchange pays for itself only when the per-row work it
+    parallelizes outweighs one pass of the rows over the wire.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _row_salt(df: DataFrame, salt_n: int):
     """Deterministic per-row salt in [0, salt_n): pure function of the row
     content, so task retries reproduce the exact same bucket assignment."""

@@ -745,15 +745,24 @@ def q59_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on both engines.",
 )
 def q74_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from etl_transparencia_sergipe_spark.operators.scale import fan_out
 
     docs = load(spark, "documents", sf_dir)
-    tok = docs.selectExpr(
-        "doc_id", "lang",
-        f"posexplode({tokens_spark('text')}) AS (pos, t)")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bg = tok.withColumn(
-        "bigram", F.concat("t", F.lit(" "), F.lead("t", 1).over(w)))
+    # round 12 (guide §2.3/§2.4): the bigram used to be assembled with a
+    # lead() window — a full token-stream exchange + sort just to see
+    # pos+1. Carrying the token array through the posexplode makes the
+    # neighbor an in-row try_element_at lookup (NULL past the end, so
+    # the trailing token drops via the NULL-propagating concat exactly
+    # as before): the whole bigram stream is now map-side and the only
+    # exchange left is the partial-aggregated (lang, bigram) shuffle.
+    tok = fan_out(docs.select("doc_id", "lang", "text")).selectExpr(
+        "lang", f"{tokens_spark('text')} AS _tk")
+    bg = (
+        tok.select("lang", "_tk", F.posexplode("_tk").alias("pos", "t"))
+        .select("lang", F.concat(
+            "t", F.lit(" "),
+            F.try_element_at("_tk", F.col("pos") + F.lit(2))).alias("bigram"))
+    )
     return (
         bg.filter("bigram IS NOT NULL")
         .groupBy("lang", "bigram")
