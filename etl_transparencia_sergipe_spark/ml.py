@@ -134,6 +134,8 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
     """
     import math as _math
 
+    from etl_transparencia_sergipe_spark.operators.scale import fan_out
+
     stats_aggs = []
     for c in feature_cols:
         stats_aggs += [
@@ -143,7 +145,13 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
             .cast("double").alias(f"{c}__s2"),
             F.count(c).alias(f"{c}__n"),
         ]
-    srow = df.agg(*stats_aggs).collect()[0]
+    # round 12: fan out ONLY the exact-decimal stats pass (guide §2.5 —
+    # single-file local scans run it in one task; measured 1.45 ->
+    # 0.90 s at sf0.1). The TakeOrdered sample and the assignment scan
+    # measured FASTER unfanned (0.42 vs 1.17 s / 0.46 vs 0.79 s): the
+    # sample's driver-side merge grows with partition count and the
+    # assignment is cheap map work not worth an exchange.
+    srow = fan_out(df.select(*feature_cols)).agg(*stats_aggs).collect()[0]
 
     zcols = []
     for i, c in enumerate(feature_cols):

@@ -44,8 +44,16 @@ def _stats_sql(c: str) -> str:
         "(data_science.ipynb:95-96 parity)",
 )
 def q60_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.scale import fan_out
+
     li = load(spark, "lineitem", sf_dir)
-    return scaler_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    # round 12: the exact-decimal sums are ~10x the cost of the scan
+    # (double->decimal cast + non-compact decimal(28,6) buffer), and a
+    # single-file scan ran them all in ONE task — fan the narrow
+    # 3-column projection out first (measured 1.62 -> 0.88 s at sf0.1;
+    # decimal sums are order-exact so the result is bit-identical)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    return scaler_stats(fan_out(li.select(*cols)), cols)
 
 
 @register(

@@ -56,9 +56,20 @@ from etl_transparencia_sergipe_spark.plans.registry import register
     doc="hash agg w/ map-side partial aggregation (A7/A10); TPC-H Q1 shape",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.scale import fan_out
+
     li = load(spark, "lineitem", sf_dir)
+    # round 12: five exact-decimal aggregates dominate this query (~10x
+    # the scan cost) and the partial agg ran inside a single-file scan's
+    # ONE task locally — fan the filtered narrow projection out first
+    # (guide §2.5; decimal sums are order-exact, result bit-identical)
+    need = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount"]
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        fan_out(
+            li.filter(F.col("l_shipdate")
+                      <= F.lit("1998-09-02").cast("timestamp"))
+            .select(*need))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
