@@ -67,7 +67,8 @@ def shingles_duck(text: str, n: int = 3) -> str:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3, carry: tuple[str, ...] = ()) -> DataFrame:
+                 n: int = 3, carry: tuple[str, ...] = (),
+                 by_doc: bool = False) -> DataFrame:
     """Word n-grams as ROWS (doc_id, s) — the codegen-friendly shingler.
 
     ``shingles_spark`` builds the n-gram array with higher-order-function
@@ -81,24 +82,41 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     in-row array — the whole assembly is map-side, no exchange, no sort,
     and the downstream groupBy(doc_id) partial-aggregates signatures
     before the only shuffle left (n_docs x k integers, not tokens).
-    Parallelism no longer comes from the window exchange, so the narrow
-    input projection is fanned out first (scale.fan_out — a no-op on
-    multi-block cluster inputs). Measured at sf0.1: q31 2.94 -> 2.0 s
-    warm, the signature stage alone ~3x. May emit within-doc duplicate
-    n-grams (unlike the array variant's array_distinct) — callers must be
-    duplicate-insensitive (min-aggregates are).
+    Measured at sf0.1 (same-session A/B, bench boundaries): the sig
+    stage 1.03 -> 0.80 s, the q82 shingle+distinct core 2.32 -> 1.82 s.
+    A scale.fan_out of the input was tried here and REVERTED: the
+    downstream exchanges carry shingle-proportional rows (distinct,
+    collect_set), so pre-spreading the docs added a full extra exchange
+    for no collapse — 0.80 -> 0.91 s on the sig stage, and consumer
+    queries (q82/q84-class) regressed 1.2-1.6x warm in the interleaved
+    tree A/B. May emit within-doc duplicate n-grams (unlike the array
+    variant's array_distinct) — callers must be duplicate-insensitive
+    (min-aggregates are).
 
     Short docs (< n tokens) emit the whole token string once, matching
     ``shingles_spark``: at pos 0 the trailing ``try_element_at`` lookups
     are NULL and ``concat_ws`` skips them, which IS the all-tokens
     string. ``carry`` lists extra columns (functional on the id, e.g.
     source) to ride along in the output rows.
-    """
-    from etl_transparencia_sergipe_spark.operators.scale import fan_out
 
-    tok = fan_out(df.selectExpr(f"{id_col} AS doc_id", *carry,
-                                f"{text_col} AS _txt")).selectExpr(
-        "doc_id", *carry, f"split(lower(trim(_txt)), '\\\\s+') AS _tk",
+    ``by_doc=True`` hash-repartitions the DOC rows by id first — the
+    narrowest possible exchange (raw text, not tokens, not n-token
+    shingle strings) — so the OUTPUT is doc_id-partitioned and a
+    downstream distinct()/collect_set keyed on doc_id runs exchange-free
+    (ClusteredDistribution(doc_id, ...) is satisfied by
+    HashPartitioning(doc_id)). Use it when the consumer needs (doc,
+    shingle) ROWS: the map-side path would otherwise shuffle the
+    assembled shingle strings — n tokens wide each — where the old
+    window shuffled 1-token rows (q82 at n=8 regressed 1.2x before this;
+    with by_doc the exchange carries ~1/8 the old bytes AND the sort is
+    gone). Leave False when the consumer partial-aggregates per doc
+    before its exchange (minhash signatures: doc x k integers).
+    """
+    if by_doc:
+        df = df.repartition(F.col(id_col))
+    tok = df.selectExpr(
+        f"{id_col} AS doc_id", *carry,
+        f"split(lower(trim({text_col})), '\\\\s+') AS _tk",
     )
     pe = tok.select("doc_id", *carry, "_tk",
                     F.posexplode("_tk").alias("pos", "t"))
@@ -225,7 +243,12 @@ def jaccard_verify_pairs(df: DataFrame, cand: DataFrame, id_col: str,
         shingle_rows(df.join(cand_ids,
                              F.col(id_col) == F.col("_cand_id"),
                              "left_semi"),
-                     id_col, text_col, n)
+                     id_col, text_col, n,
+                     # collect_set has no partial collapse: by_doc moves
+                     # the raw candidate TEXT once instead of shuffling
+                     # assembled n-token shingle rows, and the groupBy
+                     # below is then exchange-free (round 12)
+                     by_doc=True)
         .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     )
     # shuffle_hash hints: the shingle-array side's in-memory size is

@@ -42,14 +42,14 @@ def _stacked(df: DataFrame, keys: list[str],
     dropped, F.percentile semantics), shared by the distribution groupBy
     and the auto-switch distinct estimate.
 
-    Round 12 note: a fan_out of the projection was tried here and
-    REVERTED — q19/q109 stack l_extendedprice, whose ~n distinct values
-    mean the partial agg cannot collapse rows, and _stacked feeds both
-    the auto-select estimate AND the distribution, so the added
-    exchange of the full stacked stream ran TWICE per query (measured
-    2.6 -> 3.6 s at sf0.1). value_distribution keeps its fan_out: its
-    output is persisted by callers (q56), so the exchange runs once and
-    the parallelized cast+partial-agg wins (2.7 -> 2.2 s)."""
+    Round 12 note: a fan_out of the projection was tried here (and in
+    value_distribution) and REVERTED — these paths stack near-unique
+    values (l_extendedprice), so the partial agg cannot collapse rows
+    and the pre-spread exchange moved the full stream a second time for
+    nothing: q19 2.6 -> 3.6 s, q56 1.54 -> 2.20 s in same-session A/Bs.
+    fan_out only pays when the map work is heavy AND the next partial
+    agg collapses to a handful of groups (q01/q18/q37/q60-class exact-
+    decimal sums)."""
     npairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c, _, _ in specs)
     return (
         df.selectExpr(*keys, f"stack({len(specs)}, {npairs}) AS (_name, _v)")
@@ -163,11 +163,9 @@ def value_distribution(df: DataFrame, keys: list[str],
     ``value`` are ignored (F.percentile semantics); grouping on the
     double cast keeps the distinct set identical to what the buffered
     aggregate would see."""
-    from etl_transparencia_sergipe_spark.operators.scale import fan_out
-
     return (
-        fan_out(df.filter(F.col(value).isNotNull())
-                .select(*keys, F.col(value).cast("double").alias("_v")))
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, F.col(value).cast("double").alias("_v"))
         .groupBy(*keys, "_v")
         .agg(F.count("*").alias("_cnt"))
     )

@@ -46,12 +46,51 @@ def fan_out(df: DataFrame) -> DataFrame:
     and only in front of compute-heavy map work (hashing, tokenizing) —
     the exchange pays for itself only when the per-row work it
     parallelizes outweighs one pass of the rows over the wire.
+
+    The probe is deliberately PLAN-FREE: the first cut used
+    ``df.rdd.getNumPartitions()``, which builds a PythonRDD conversion
+    per call (~0.2 s of driver time, paid on EVERY query build) and —
+    worse — on an exchange-bearing upstream (the verify paths) AQE may
+    execute the upstream's query stages just to answer the partition
+    count, re-running candidate generation once per build (caught by
+    the mid-round bench: every fan_out consumer regressed 1.2-1.7x
+    warm). ``inputFiles()`` + file sizes against maxPartitionBytes
+    estimates the SCAN parallelism the same way Spark's split packing
+    does, runs no job, and costs one cached-listing py4j call.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file sources: leave alone
+        return df
+    if not files:
+        return df
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(urlparse(f).path)
+        except OSError:
+            return df  # remote/unstattable storage: assume multi-block
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    est_scan_tasks = max(len(files), -(-total // max_pb))
+    if est_scan_tasks < target:
         return df.repartition(target)
     return df
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('16777216', '128m', '1g')."""
+    s = v.strip().lower()
+    for suf, mult in (("k", 2**10), ("m", 2**20), ("g", 2**30),
+                      ("t", 2**40), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[:-1]) * mult)
+    return int(s)
 
 
 def _row_salt(df: DataFrame, salt_n: int):

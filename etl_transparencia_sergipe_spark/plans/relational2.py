@@ -23,8 +23,16 @@ from etl_transparencia_sergipe_spark.plans.registry import register
     doc="A9 cube over (returnflag, linestatus) incl. all subtotal planes",
 )
 def q18_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_transparencia_sergipe_spark.operators.scale import fan_out
+
     li = load(spark, "lineitem", sf_dir)
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    # round 12: CUBE expands every row 4x before the partial agg, all
+    # inside a single-file scan's one task locally — fan the 3-column
+    # projection out first (q01's pattern; 12 output groups, so the
+    # partial agg collapses and the exchange stays tiny)
+    return fan_out(
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+    ).cube("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
 
 
@@ -345,6 +353,10 @@ def q36_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
+    # round 12: scale.fan_out tried and dropped — one decimal sum per
+    # stacked row is too little CPU to pay the pre-spread exchange for
+    # (A/B medians 1.00-1.17 fanned vs 1.10-1.15 not; q01's 5-aggregate
+    # shape is where the pattern wins)
     melted = li.selectExpr(
         "l_returnflag",
         "stack(3, 'qty', l_quantity, 'tax', l_tax, 'discount', l_discount)"

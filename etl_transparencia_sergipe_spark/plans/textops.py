@@ -745,8 +745,6 @@ def q59_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on both engines.",
 )
 def q74_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_transparencia_sergipe_spark.operators.scale import fan_out
-
     docs = load(spark, "documents", sf_dir)
     # round 12 (guide §2.3/§2.4): the bigram used to be assembled with a
     # lead() window — a full token-stream exchange + sort just to see
@@ -755,8 +753,7 @@ def q74_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trailing token drops via the NULL-propagating concat exactly
     # as before): the whole bigram stream is now map-side and the only
     # exchange left is the partial-aggregated (lang, bigram) shuffle.
-    tok = fan_out(docs.select("doc_id", "lang", "text")).selectExpr(
-        "lang", f"{tokens_spark('text')} AS _tk")
+    tok = docs.selectExpr("lang", f"{tokens_spark('text')} AS _tk")
     bg = (
         tok.select("lang", "_tk", F.posexplode("_tk").alias("pos", "t"))
         .select("lang", F.concat(
@@ -919,7 +916,11 @@ def q82_dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNT(DISTINCT ...) semantics); persisted because three branches
     # consume it (per-doc totals, corpus shingle counts, the dup probe) —
     # the module policy single-text-scan guarantee
-    sh = (shingle_rows(docs, "doc_id", "text", _DUPFRAC_N)
+    # by_doc (round 12): the distinct() needs (doc, shingle) ROWS — the
+    # 8-token shingle strings are ~8x the token bytes, so exchange the
+    # raw doc rows once instead and let the doc_id partitioning make
+    # the distinct exchange-free
+    sh = (shingle_rows(docs, "doc_id", "text", _DUPFRAC_N, by_doc=True)
           .distinct()
           .transform(persist_scoped))
     # Round-11 de-skew (r10 VERDICT item 1, the q110 shape): round-10
@@ -1017,7 +1018,12 @@ def chunk_fingerprints(docs: DataFrame, c: int = _CHUNK_TOKENS) -> DataFrame:
     have rebuilt exactly that — but it declines to collapse when a
     non-cheap expression would be duplicated, so the two-step select
     keeps split() evaluated once (asserted in tests/test_chunk_plan.py;
-    chunk stage 3.7 s -> 1.2 s warm at sf1)."""
+    chunk stage 3.7 s -> 1.2 s warm at sf1).
+
+    Round 12: a scale.fan_out of the docs was tried here and REVERTED —
+    the downstream (fp, doc) partial agg does not collapse (one row per
+    chunk), so the pre-spread added an exchange for no shuffle savings:
+    q84 1.67 -> 2.11 s warm in the same-session A/B."""
     return (
         docs.selectExpr("doc_id", "source",
                         f"{tokens_spark('text')} AS toks")
@@ -1247,7 +1253,11 @@ def substring_dedup_spans(docs: DataFrame, w: int = _SPAN_W,
 
     # one tokenization per doc, materialized in its own projection (the
     # q84 lesson: a split() inlined into the transform lambda re-runs
-    # per element; tests/test_chunk_plan.py pins the hoist there)
+    # per element; tests/test_chunk_plan.py pins the hoist there).
+    # Round 12: scale.fan_out tried and dropped — the downstream
+    # position-stream exchange carries ~one row per token either way
+    # (no partial-agg collapse), so the pre-spread bought nothing
+    # (A/B medians 2.14-2.32 fanned vs 2.15-2.19 not).
     tok = docs.selectExpr("doc_id", "source",
                           f"{tokens_spark('text')} AS toks")
     totals = tok.groupBy("source").agg(
