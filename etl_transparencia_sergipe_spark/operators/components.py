@@ -81,11 +81,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # neighbor-min over the symmetrized edge list; the fixpoint and its
     # labels are unchanged (min-propagation is monotone and confluent —
     # tools/exp_r12_cc.py checks variant output equality on real pairs).
+    # LAZY initial checkpoint (round 12): round 1's count() action
+    # materializes labels0 and the round-1 checkpoint in ONE job instead
+    # of paying a separate eager-checkpoint job before the loop (lazy
+    # checkpoints still register their persist at build time, so
+    # checkpoint_rdd_id below reads the exact id either way)
     labels = (
         edges.groupBy("src").agg(F.min("dst").alias("_m"))
         .select(F.col("src").alias("node"),
                 F.least("src", "_m").alias("component"))
-        .transform(truncate)
+        .transform(lambda df: truncate(df, eager=False))
     )
     # id registered by THIS call's most recent truncate — superseded
     # (and freed) as soon as the next round's checkpoint materializes.
