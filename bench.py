@@ -337,7 +337,27 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Round-13 one-line-JSON hardening (r12 VERDICT item 2): the driver
+    # lost the r11->r12 comparison because the emitted line grew past its
+    # tail-capture window and json.loads failed (BENCH_r11 parsed: null).
+    # Three protections:
+    #  1. BOUNDED line: per-run detail (warm spreads, box/contention
+    #     stats) moves to a sidecar file the JSON references — the line
+    #     keeps only the driver-contract fields plus queries_warm.
+    #  2. FINAL-LINE emission straight to the fd, flushed.
+    #  3. Round-trip self-check: json.loads the exact emitted string
+    #     before printing; a malformed line fails THIS process, not the
+    #     driver's parser.
+    sidecar_path = Path(__file__).resolve().parent / "bench_sidecar.json"
+    try:
+        sidecar_path.write_text(json.dumps({
+            "queries_warm_spread": warm_spread,
+            "box": box,
+        }, indent=1))
+        sidecar_ref = str(sidecar_path)
+    except OSError:
+        sidecar_ref = None  # read-only checkout: detail is lost, line isn't
+    line = json.dumps({
         "metric": "bench_queries_total",
         "value": total,
         "unit": "sec",
@@ -346,10 +366,13 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "warm_protocol": (f"median_of_{n_warm}" if n_warm >= 1
                           else "cold_only"),
-        **({"queries_warm_spread": warm_spread} if warm_spread else {}),
-        "box": box,
+        **({"detail_file": sidecar_ref} if sidecar_ref else {}),
         "sf": float(sf),
-    }))
+    }, separators=(",", ":"))
+    assert json.loads(line)["value"] == total  # round-trip self-check
+    sys.stdout.flush()
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

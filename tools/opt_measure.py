@@ -37,6 +37,7 @@ def main() -> None:
     runs = 3
     write_plans = True
     time_arrow = False
+    plans_sub = "r13"
     names: list[str] = []
     it = iter(args)
     for a in it:
@@ -50,6 +51,8 @@ def main() -> None:
             write_plans = False
         elif a == "--arrow":
             time_arrow = True
+        elif a == "--plans-dir":
+            plans_sub = next(it)
         else:
             names.append(a)
 
@@ -62,7 +65,7 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / plans_sub
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     # one warm pass per table + per plan shape at the tiny SF
