@@ -201,6 +201,15 @@ def kmeans_exact(df: DataFrame, feature_cols: list[str],
         .limit(max_train_rows)
         .toArrow()
     )
+    # a NULL zq value would arrive as NaN via to_numpy and turn into an
+    # undefined int64 through astype — silently corrupting centroids
+    # where the old row-path raised (round-12 ADVICE). Fail loudly: the
+    # z-expressions are total over non-null inputs, so nulls here mean a
+    # broken upstream contract, not data to be trained on.
+    for i in range(d):
+        if sample[f"zq_{i}"].null_count:
+            raise ValueError(f"kmeans training sample has NULL zq_{i} "
+                             "values; filter NULL feature rows upstream")
     X = _np.column_stack([
         sample[f"zq_{i}"].to_numpy(zero_copy_only=False) for i in range(d)
     ]).astype(_np.int64, copy=False)

@@ -60,37 +60,61 @@ def fan_out(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:  # noqa: BLE001 — non-file sources: leave alone
-        return df
-    if not files:
-        return df
-    import os
-    from urllib.parse import urlparse
-
-    total = 0
-    for f in files:
-        try:
-            total += os.path.getsize(urlparse(f).path)
-        except OSError:
-            return df  # remote/unstattable storage: assume multi-block
+    est = estimated_input_size(df)
+    if est is None:
+        return df  # non-file/unstattable source: assume multi-block
+    n_files, total = est
     max_pb = _size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    est_scan_tasks = max(len(files), -(-total // max_pb))
+    est_scan_tasks = max(n_files, -(-total // max_pb))
     if est_scan_tasks < target:
         return df.repartition(target)
     return df
 
 
+def estimated_input_size(df: DataFrame) -> tuple[int, int] | None:
+    """(n_files, total_bytes) of the file-backed relations feeding
+    ``df``'s plan, or None when unknown (non-file source, empty listing,
+    or unstattable storage). Plan-free and job-free: one cached-listing
+    py4j call plus local stats — safe to call at query-build time."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file sources
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        try:
+            # inputFiles() returns URIs: percent-decode the path or any
+            # file name with a space/'%' stats as ENOENT and the caller
+            # silently degrades to a no-op (round-12 ADVICE)
+            total += os.path.getsize(unquote(urlparse(f).path))
+        except OSError:
+            return None  # remote/unstattable storage
+    return len(files), total
+
+
 def _size_bytes(v: str) -> int:
-    """Parse a Spark byte-size conf value ('16777216', '128m', '1g')."""
+    """Parse a Spark byte-size conf value ('16777216', '128m', '128mb',
+    '1g'). Spark accepts both one- and two-letter suffixes; '128mb' must
+    not fall into the bare-'b' branch (round-12 ADVICE: float('128m')
+    raised out of fan_out). Unparseable values fall back to the Spark
+    default, 128 MiB — degrading to an estimate, never a crash."""
     s = v.strip().lower()
-    for suf, mult in (("k", 2**10), ("m", 2**20), ("g", 2**30),
-                      ("t", 2**40), ("b", 1)):
-        if s.endswith(suf):
-            return int(float(s[:-1]) * mult)
-    return int(s)
+    try:
+        if s.endswith("b") and len(s) > 1 and s[-2] in "kmgt":
+            s = s[:-1]  # two-letter form: '128mb' -> '128m'
+        for suf, mult in (("k", 2**10), ("m", 2**20), ("g", 2**30),
+                          ("t", 2**40), ("b", 1)):
+            if s.endswith(suf):
+                return int(float(s[:-1]) * mult)
+        return int(s)
+    except ValueError:
+        return 128 * 2**20
 
 
 def _row_salt(df: DataFrame, salt_n: int):
