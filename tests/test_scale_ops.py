@@ -201,6 +201,33 @@ def test_asof_join_bucketed_randomized(spark):
             sorted(map(tuple, bucketed.collect())), width
 
 
+def test_asof_join_auto_buckets_timestamps(spark):
+    """Round 13: ts_bucket='auto' (now the default) derives calendar-
+    month buckets when both ts columns are date/timestamp — results
+    identical to the forced plain plan, and the in-bucket window must
+    partition by (_k, _b) (the hot-key fan-out). Numeric ts inputs keep
+    the plain plan (no inferable scale), covered by the tests above."""
+    import re
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-15"), (1, "2024-03-02"), (1, "2023-11-30"),
+         (2, "2024-02-01"), (3, "2024-06-01")],
+        "k int, d string").selectExpr("k", "CAST(d AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-10", 1.0), (1, "2024-02-20", 2.0),
+         (2, "2023-01-01", 3.0)],
+        "k int, d string, val double").selectExpr(
+        "k", "CAST(d AS DATE) AS rts", "val")
+    auto = asof_join(left, right, "k", "ts", "rts", ["val"])
+    plain = asof_join(left, right, "k", "ts", "rts", ["val"],
+                      ts_bucket=None)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_k" in ws and "_b" in ws for ws in win_specs), win_specs
+
+
 def test_pack_chunks_shard_width_invariance(spark, sf_dir):
     """q57's two-pass sharded running sum must produce identical packing
     accounting for ANY shard width — including width 1 (every doc its own

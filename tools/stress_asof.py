@@ -81,7 +81,9 @@ def main() -> None:
     # plain shape: hot key's whole history -> one window task
     t0 = time.time()
     plain = asof_join(left, right, on="user_id", left_ts="ts",
-                      right_ts="rts", right_cols=["price"])
+                      right_ts="rts", right_cols=["price"],
+                      ts_bucket=None)  # round 13: 'auto' would bucket a
+    # non-file source — force the plain shape this stress exists to time
     plain_sum = checksum(plain)
     t_plain = time.time() - t0
 
