@@ -74,13 +74,141 @@ def _merge_fold(left: str, right: str) -> str:
     )
 
 
+def _bpe_task(batches, n_merges: int):
+    """The whole merge loop inside ONE Spark task (round 13, guide §4.2:
+    distribution/shuffle stays in Spark — the corpus-sized word count —
+    and the vocabulary-sized sequential loop runs as native batch code
+    instead of R driver-synchronized jobs).
+
+    Input: Arrow batches of (word, freq) — the task owns the full
+    vocabulary because the caller coalesces to one partition, which the
+    distributed loop ALREADY required de facto (its working set has been
+    ``coalesce(1)`` since round 8: per-round task scheduling dominated).
+
+    Algorithm: incremental pair-count maintenance (Sennrich et al. 2016
+    reference trainer shape) — count every adjacency once, keep a
+    pair -> word-ids index, and per round touch only the words that
+    contain the merged pair. DELIBERATELY a different algorithm from the
+    oracle_py twin's full recount-per-round, so the bit-identical hash
+    gate stays a real cross-check.
+
+    Determinism notes:
+    - tie-break compares UTF-8 BYTES (max count, then lexicographic
+      (left, right)): Spark orders strings by binary UTF8String
+      comparison, and UTF-8 byte order equals code-point order, so this
+      matches both the old orderBy and the oracle's tuple compare.
+    - a pair merged at round k can REAPPEAR later (a subsequent merge
+      may recreate its left token); stale zero-count entries are
+      skipped lazily, re-incremented entries stay eligible — exactly
+      the full-recount semantics.
+    - contraction is greedy left-to-right non-overlapping, equivalent
+      to the fold in :func:`_merge_fold` (a merged token l||r can never
+      re-match l, since r is non-empty).
+    """
+    import pyarrow as pa
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for b in batches:
+        for w, f in zip(b.column("word").to_pylist(),
+                        b.column("freq").to_pylist()):
+            if w:  # empty tokens carry zero symbols — never merge input
+                words.append(list(w))
+                freqs.append(int(f))
+
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            counts[p] = counts.get(p, 0) + f
+            index.setdefault(p, set()).add(wi)
+
+    out_rank: list[int] = []
+    out_l: list[str] = []
+    out_r: list[str] = []
+    out_cnt: list[int] = []
+    for rank in range(n_merges):
+        cmax = 0
+        for c in counts.values():
+            if c > cmax:
+                cmax = c
+        if cmax <= 0:
+            break
+        best = min((p for p, c in counts.items() if c == cmax),
+                   key=lambda p: (p[0].encode("utf-8"),
+                                  p[1].encode("utf-8")))
+        l, r = best
+        out_rank.append(rank)
+        out_l.append(l)
+        out_r.append(r)
+        out_cnt.append(cmax)
+        merged = l + r
+        for wi in sorted(index.get(best, ())):
+            syms = words[wi]
+            f = freqs[wi]
+            new: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            if len(new) == n:
+                continue  # stale index entry: pair no longer present
+            for j in range(n - 1):
+                counts[(syms[j], syms[j + 1])] -= f
+            for j in range(len(new) - 1):
+                p = (new[j], new[j + 1])
+                counts[p] = counts.get(p, 0) + f
+                index.setdefault(p, set()).add(wi)
+            words[wi] = new
+
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(out_rank, pa.int64()), pa.array(out_l, pa.string()),
+         pa.array(out_r, pa.string()),
+         pa.array([a + b for a, b in zip(out_l, out_r)], pa.string()),
+         pa.array(out_cnt, pa.int64())],
+        names=["rank", "left", "right", "merged", "pair_count"])
+
+
 def learn_bpe_merges(docs: DataFrame, text_col: str = "text",
-                     n_merges: int = 16) -> list[dict]:
+                     n_merges: int = 16,
+                     distributed: bool = False) -> list[dict]:
     """Learn ``n_merges`` BPE merge rules from the corpus; returns the
     rank-ordered merge table as plain rows
     [{rank, left, right, merged, pair_count}] (driver-side: one tiny
     row per round by construction). Stops early when no adjacent pair
-    remains."""
+    remains.
+
+    Default path (round 13): ONE Spark job — the corpus-sized word
+    count shuffles to a vocabulary-sized (word, freq) table, and the
+    whole R-round merge loop runs inside a single ``mapInArrow`` task
+    (:func:`_bpe_task`). The old per-round plan paid R sequential
+    driver round-trips, R fresh Janino codegen compiles (each round's
+    fold bakes new literals) and R localCheckpoints — measured 3.35 s
+    warm at sf0.1 for 16 rounds where the in-task loop is one job.
+
+    ``distributed=True`` keeps the per-round Spark loop: the only path
+    whose per-round pair count runs distributed — for a vocabulary too
+    large for one task's memory (the in-task path holds the symbol
+    lists + pair index in RAM; the distributed one only the arrays).
+    Both paths are pinned equal in tests/test_bpe.py.
+    """
+    if not distributed:
+        rows = (
+            word_frequencies(docs, text_col)
+            .coalesce(1)
+            .mapInArrow(
+                lambda it: _bpe_task(it, n_merges),
+                "rank bigint, left string, right string, merged string, "
+                "pair_count bigint")
+            .collect()
+        )
+        return [row.asDict() for row in rows]
     spark = docs.sparkSession
     words = (word_frequencies(docs, text_col)
              .selectExpr(
