@@ -344,6 +344,26 @@ _LOADED = False
 #   changed this round (LOCAL gate semantics only — the driver contract
 #   for both is unchanged); the q63/q98/q99/q101/q102/q103 Spark
 #   builders are untouched — only their published oracles are new.
+# Round-13 rotation (r12 VERDICT item 8 — close the certification loop
+# on consumers whose shared shingle_rows implementation changed in r12
+# but were rotated out the same round):
+# - IN: q33_ngram_jaccard_topk, q47_corpus_curation,
+#   q64_decontamination, q66_repetition_ratio, q74_bigram_topk — every
+#   r12 changed-implementation consumer without an r12 driver row gets
+#   one now (q31/q38/q39/q82/q97/q105/q107 already have theirs).
+# - OUT: q05_top_customers, q20_token_stats, q51_sliding_window,
+#   q73_merge_materialized, q83_source_overlap — all driver-green hash
+#   rows in r11 AND r12 with implementations unchanged in r12 and r13;
+#   all stay hash-verified in the local 111-query gate every round.
+#   Family coverage stays in-window (relational topk/join: q01/q04/q07/
+#   q11/q14; text stats: q66/q74/q85; windows: q51's shapes live on in
+#   q111/q112; MERGE/CDC: q36/q88/q96; overlap: q64/q105).
+# - Re-certified in place (implementations changed THIS round): q04
+#   (reduce-before-join), q85 (join-free n_df window), q34 (asof
+#   ts_bucket auto default), q38/q39/q97/q107 (CC label
+#   co-partitioning). q108's in-task BPE trainer is certified by its
+#   LOCAL oracle_py hash twin (the r9/r11 precedent — a driver row
+#   would be rows-only, and rows-only stays at the mandated <=2: q92).
 HEADLINE_50: tuple[str, ...] = (
     "q01_pricing_summary", "q02_term_filter_normalize",
     "q04_monthly_revenue", "q07_anti_join_inactive_customers",
@@ -358,17 +378,17 @@ HEADLINE_50: tuple[str, ...] = (
     "q99_pq_rerank_topk", "q101_ivfpq_topk",
     "q103_ivfpq_residual_refine_topk",
     "q32_simhash_dedup", "q42_cosine_neardup_pairs",
-    "q05_top_customers", "q97_incremental_cc",
-    "q20_token_stats", "q105_bloom_decontamination",
+    "q33_ngram_jaccard_topk", "q97_incremental_cc",
+    "q47_corpus_curation", "q105_bloom_decontamination",
     "q44_lsh_ann_topk",
-    "q51_sliding_window",
-    "q73_merge_materialized", "q109_percentiles_bucketed",
+    "q64_decontamination",
+    "q66_repetition_ratio", "q109_percentiles_bucketed",
     "q110_substring_dedup_spans",
     "q111_click_attribution", "q112_user_stats_final",
     "q19_percentiles",
     "q76_prefix_dedup",
     "q79_incremental_dedup", "q80_token_budget_sample",
-    "q81_sigstore_probe", "q82_dup_text_fraction", "q83_source_overlap",
+    "q81_sigstore_probe", "q82_dup_text_fraction", "q74_bigram_topk",
     "q84_chunk_dedup", "q85_tfidf_topk", "q86_quality_logistic",
     "q87_semantic_dedup", "q88_scd2_intervals", "q89_dq_audit",
     "q93_cm_heavy_hitters", "q94_shipping_priority", "q95_scd2_asof_enrich",
