@@ -166,19 +166,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     if not at_scale:
         # broadcast-league graph: AQE's runtime broadcast rounds win
         return _cc_loop(spark, edges, truncate, local, n_part, max_iter,
-                        _plan_sink)
+                        at_scale, _plan_sink)
     _AQE_KEY = "spark.sql.adaptive.enabled"
     _aqe_prev = spark.conf.get(_AQE_KEY, "true")
     spark.conf.set(_AQE_KEY, "false")  # see round-13 note above
     try:
         return _cc_loop(spark, edges, truncate, local, n_part, max_iter,
-                        _plan_sink)
+                        at_scale, _plan_sink)
     finally:
         spark.conf.set(_AQE_KEY, _aqe_prev)
 
 
 def _cc_loop(spark, edges: DataFrame, truncate, local: bool,
-             n_part: int, max_iter: int, _plan_sink=None) -> DataFrame:
+             n_part: int, max_iter: int, at_scale: bool = True,
+             _plan_sink=None) -> DataFrame:
     """The label-propagation loop body (split out so the AQE-coalescing
     toggle in :func:`connected_components` wraps it in one try/finally).
     Labels stay hash(node, n_part)-partitioned and node-sorted across
@@ -243,11 +244,17 @@ def _cc_loop(spark, edges: DataFrame, truncate, local: bool,
                 F.least("component", F.coalesce("grand", "component"))
                 .alias("component"),
                 "old_component",
-            # the halving join keys (and leaves the frame partitioned)
-            # by component — restore the hash(node, n_part) invariant
-            # the next round's exchange-free joins rely on. Node-sized,
-            # and only reached by high-diameter graphs (round >= 2).
-            ).repartition(n_part, "node")
+            )
+            if at_scale:
+                # the halving join keys (and leaves the frame
+                # partitioned) by component — restore the
+                # hash(node, n_part) invariant the next round's
+                # exchange-free joins rely on. Node-sized, only reached
+                # by high-diameter graphs (round >= 2), and only worth
+                # an exchange in the co-partitioned regime: the small
+                # branch's AQE checkpoints lose partitioning anyway, so
+                # there it would be a per-round exchange nothing reads.
+                hop = hop.repartition(n_part, "node")
         updated = (
             hop
             # truncate lineage: each round otherwise stacks joins on the
