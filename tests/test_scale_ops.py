@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from etl_transparencia_sergipe_spark.operators.joins import asof_join
 from etl_transparencia_sergipe_spark.operators.scale import (
+    _size_bytes,
+    estimated_input_size,
+    fan_out,
     salted_agg,
     salted_join,
     write_bucketed,
@@ -226,6 +229,42 @@ def test_asof_join_auto_buckets_timestamps(spark):
     plan = auto._jdf.queryExecution().executedPlan().toString()
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_k" in ws and "_b" in ws for ws in win_specs), win_specs
+
+
+def test_size_bytes_suffixes():
+    """Round-13 ADVICE fix: two-letter Spark byte suffixes must parse
+    ('128mb' used to fall into the bare-'b' branch and raise out of
+    fan_out); unparseable values degrade to the 128 MiB Spark default
+    instead of crashing query build."""
+    assert _size_bytes("16777216") == 16777216
+    assert _size_bytes("128m") == 128 * 2**20
+    assert _size_bytes("128mb") == 128 * 2**20
+    assert _size_bytes("1gb") == 2**30
+    assert _size_bytes("64kb") == 64 * 2**10
+    assert _size_bytes("2t") == 2 * 2**40
+    assert _size_bytes("512b") == 512
+    assert _size_bytes("-1") == -1
+    assert _size_bytes("not-a-size") == 128 * 2**20
+
+
+def test_estimated_input_size_and_fan_out(spark, sf_dir):
+    """estimated_input_size stats the file-backed relations through a
+    derived plan (and percent-decoded paths, round-13 ADVICE); fan_out
+    repartitions only single-task-league file inputs and leaves
+    non-file sources alone."""
+    docs = load_table(spark, "documents", sf_dir)
+    est = estimated_input_size(docs.selectExpr("doc_id").limit(10))
+    assert est is not None
+    n_files, total = est
+    assert n_files >= 1 and total > 0
+    assert estimated_input_size(spark.range(10)) is None
+    # tiny single-file input below the session split budget: fan_out
+    # inserts a repartition to the session's parallelism
+    fanned = fan_out(docs)
+    assert "Repartition" in fanned._jdf.queryExecution().logical().toString()
+    # non-file source: untouched frame comes back
+    rng = spark.range(10)
+    assert fan_out(rng) is rng
 
 
 def test_pack_chunks_shard_width_invariance(spark, sf_dir):
